@@ -1,0 +1,348 @@
+"""Datamodules: IXI (train) + Brats21 / MSLUB / ATLAS / WMH (eval).
+
+Capability parity with the reference data layer
+(reference: src/datamodules/Datamodules_train.py, Datamodules_eval.py,
+create_dataset.py):
+
+* CSV split handling with `<pathBase>/Data` prefixing, per-fold train/val CSVs,
+  t2-mode path rewriting and keep-list filtering  (Datamodules_train.py:24-49)
+* preprocessing pipeline per subject: read (+curvature-flow smoothing of images),
+  CropOrPad(imageDim), masked percentile rescale, bspline downsample by
+  rescaleFactor (labels nearest)                  (create_dataset.py:196-258)
+* Eval subjects keep `*_orig` full-resolution copies excluded from resampling
+  when resizedEvaluation=False                    (create_dataset.py:199-202)
+* vol2slice: one random depth slice per subject per epoch, optional fixed /
+  sequential slice windows and `unique_slice`     (create_dataset.py:143-193)
+* sample_set debug subsetting (first 8/4 subjects) (Datamodules_eval.py:37-42)
+* ATLAS / WMH eval modules — referenced by the reference's train loop
+  (src/train.py:189) but unimplemented in the fork; implemented here for parity
+  with the upstream capability set (SURVEY.md §2.2).
+
+TPU-first: after one-time preprocessing the *entire training set* lives on
+device as a stacked [N, H, W, D] array (a few GB at most at this scale) and the
+per-step slice gather + augmentation happens inside the jitted train step — no
+host dataloader in the hot loop (the reference burns host CPU on torchio
+workers + per-step noise; see SURVEY.md §3.1)."""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .nifti import read_nifti
+from .transforms import (
+    bspline_downsample,
+    crop_or_pad,
+    curvature_flow,
+    nearest_downsample,
+    percentile_rescale,
+)
+
+
+@dataclasses.dataclass
+class DataConfig:
+    data_dir: str = ""
+    image_dim: Sequence[int] = (192, 192, 100)
+    rescale_factor: float = 2.0
+    mode: str = "t1"
+    batch_size: int = 32
+    num_folds: int = 1
+    sample_set: bool = False
+    perc_low: float = 1.0
+    perc_high: float = 99.0
+    use_curvature_flow: bool = True
+    resized_evaluation: bool = True
+    aug_intensity: bool = True
+    unique_slice: bool = False
+    start_slice: Optional[int] = None
+    seq_slices: Optional[int] = None
+    drop_last: bool = True
+    testsets: Sequence[str] = ("Brats21",)
+
+    @property
+    def model_hw(self):
+        return (
+            int(self.image_dim[0] / self.rescale_factor),
+            int(self.image_dim[1] / self.rescale_factor),
+        )
+
+
+def _read_image(path: str, cfg: DataConfig, is_label: bool) -> np.ndarray:
+    vol, _ = read_nifti(path)
+    if vol.ndim == 4:
+        vol = vol[..., 0]
+    if not is_label and cfg.use_curvature_flow:
+        vol = np.asarray(curvature_flow(jnp.asarray(vol)))
+    return vol.astype(np.float32)
+
+
+def load_subject(
+    row,
+    cfg: DataConfig,
+    keep_orig: bool = False,
+) -> dict:
+    """Read + preprocess one subject into numpy arrays [H, W, D]."""
+    vol = _read_image(row["img_path"], cfg, is_label=False)
+    if isinstance(row.get("mask_path", None), str) and row["mask_path"]:
+        mask = _read_image(row["mask_path"], cfg, is_label=True)
+    else:
+        mask = (vol > 0).astype(np.float32)
+    seg_path = row.get("seg_path", None)
+    seg_available = isinstance(seg_path, str) and bool(seg_path)
+    seg = _read_image(seg_path, cfg, is_label=True) if seg_available else None
+
+    target = tuple(cfg.image_dim)
+    vol = crop_or_pad(vol, target)
+    mask = crop_or_pad(mask, target)
+    if seg is not None:
+        seg = crop_or_pad(seg, target)
+
+    vol = np.asarray(
+        percentile_rescale(
+            jnp.asarray(vol), jnp.asarray(mask), 0.0, 1.0, cfg.perc_low, cfg.perc_high
+        )
+    )
+
+    out = {}
+    if keep_orig:
+        if cfg.resized_evaluation:
+            out["vol_orig"] = np.asarray(
+                bspline_downsample(jnp.asarray(vol), cfg.rescale_factor)
+            )
+            out["mask_orig"] = np.asarray(
+                nearest_downsample(jnp.asarray(mask), cfg.rescale_factor)
+            )
+            out["seg_orig"] = (
+                np.asarray(nearest_downsample(jnp.asarray(seg), cfg.rescale_factor))
+                if seg is not None
+                else np.zeros_like(out["mask_orig"])
+            )
+        else:
+            out["vol_orig"] = vol.copy()
+            out["mask_orig"] = mask.copy()
+            out["seg_orig"] = seg.copy() if seg is not None else np.zeros_like(mask)
+
+    out["vol"] = np.asarray(bspline_downsample(jnp.asarray(vol), cfg.rescale_factor))
+    out["mask"] = np.asarray(nearest_downsample(jnp.asarray(mask), cfg.rescale_factor))
+    if seg is not None:
+        out["seg"] = np.asarray(nearest_downsample(jnp.asarray(seg), cfg.rescale_factor))
+    out["seg_available"] = seg_available
+    out["ID"] = str(row.get("img_name", ""))
+    out["age"] = row.get("age", 0)
+    out["label"] = int(row.get("label", 0) or 0)
+    return out
+
+
+class EvalDataset:
+    """Per-volume eval dataset yielding the reference's subject dict
+    (vol/vol_orig/mask_orig/seg_orig/ID/label/stage/Dataset)."""
+
+    def __init__(self, csv: pd.DataFrame, cfg: DataConfig, setname: str, stage: str):
+        self.csv = csv.reset_index(drop=True)
+        self.cfg = cfg
+        self.setname = setname
+        self.stage = stage
+        self._cache: dict = {}
+
+    def __len__(self):
+        return len(self.csv)
+
+    def __getitem__(self, i: int) -> dict:
+        if i not in self._cache:
+            sub = load_subject(self.csv.iloc[i], self.cfg, keep_orig=True)
+            sub["Dataset"] = self.setname
+            sub["stage"] = self.stage
+            self._cache[i] = sub
+        return self._cache[i]
+
+    def __iter__(self) -> Iterator[dict]:
+        for i in range(len(self)):
+            yield self[i]
+
+
+class TrainSliceSource:
+    """Device-resident training set: stacked volumes + the vol2slice sampler.
+
+    `epoch_indices(rng)` yields (vol_idx, slice_idx) int arrays per batch:
+    each epoch visits every subject once in random order and draws one random
+    depth slice per subject (reference vol2slice, create_dataset.py:143-193).
+    `gather(vol_idx, slice_idx)` is the jitted on-device slice fetch."""
+
+    def __init__(self, vols: np.ndarray, masks: np.ndarray, cfg: DataConfig):
+        self.cfg = cfg
+        self.vols = jnp.asarray(vols)  # [N, H, W, D]
+        self.masks = jnp.asarray(masks)
+        self.depth = int(vols.shape[-1])
+        self.n = int(vols.shape[0])
+
+        @jax.jit
+        def _gather(vol_idx, slice_idx):
+            v = self.vols[vol_idx, :, :, slice_idx]  # [B, H, W]
+            m = self.masks[vol_idx, :, :, slice_idx]
+            return v[..., None], m[..., None]
+
+        self.gather = _gather
+
+    def __len__(self):
+        return self.n
+
+    def epoch_indices(self, rng: np.random.Generator):
+        cfg = self.cfg
+        order = rng.permutation(self.n)
+        bs = cfg.batch_size
+        end = self.n - (self.n % bs) if (cfg.drop_last and self.n >= bs) else self.n
+        lo, hi = 0, self.depth
+        if cfg.start_slice is not None:
+            if cfg.seq_slices is not None:
+                lo, hi = cfg.start_slice, cfg.start_slice + cfg.seq_slices
+            else:
+                lo, hi = cfg.start_slice, cfg.start_slice + 1
+        for i in range(0, max(end, min(bs, self.n)), bs):
+            idx = order[i : i + bs]
+            if len(idx) == 0 or (cfg.drop_last and len(idx) < bs and self.n >= bs):
+                break
+            if cfg.unique_slice:
+                s = np.full(len(idx), rng.integers(lo, hi))
+            else:
+                s = rng.integers(lo, hi, size=len(idx))
+            yield idx.astype(np.int32), s.astype(np.int32)
+
+
+def _prefix_paths(csv: pd.DataFrame, base: str, with_seg: bool) -> pd.DataFrame:
+    csv = csv.copy()
+    csv["img_path"] = base + "/Data" + csv["img_path"]
+    csv["mask_path"] = base + "/Data" + csv["mask_path"]
+    if with_seg and "seg_path" in csv.columns:
+        csv["seg_path"] = base + "/Data" + csv["seg_path"]
+    else:
+        csv["seg_path"] = None
+    return csv
+
+
+class IXI:
+    """Healthy-train datamodule (reference Datamodules_train.IXI)."""
+
+    def __init__(self, cfg: DataConfig, fold: int = 0):
+        self.cfg = cfg
+        base = cfg.data_dir
+        splits = os.path.join(base, "Data", "splits")
+        self.csv = {
+            "train": pd.read_csv(os.path.join(splits, f"IXI_train_fold{fold}.csv")),
+            "val": pd.read_csv(os.path.join(splits, f"IXI_val_fold{fold}.csv")),
+            "test": pd.read_csv(os.path.join(splits, "IXI_test.csv")),
+        }
+        for state, df in self.csv.items():
+            df = _prefix_paths(df, base, with_seg=False)
+            if cfg.mode == "t2":
+                keep_path = os.path.join(splits, "avail_t2.csv")
+                if os.path.exists(keep_path):
+                    keep_t2 = pd.read_csv(keep_path)
+                    df = df[df.img_name.isin(keep_t2["0"].str.replace("t2", "t1"))]
+                df["img_path"] = df["img_path"].str.replace("t1", "t2")
+            df["setname"] = "IXI"
+            df["settype"] = state
+            self.csv[state] = df
+        self._train_source = None
+        self._val_source = None
+
+    def _build_source(self, state: str) -> TrainSliceSource:
+        subs = [
+            load_subject(self.csv[state].iloc[i], self.cfg)
+            for i in range(len(self.csv[state]))
+        ]
+        vols = np.stack([s["vol"] for s in subs])
+        masks = np.stack([s["mask"] for s in subs])
+        return TrainSliceSource(vols, masks, self.cfg)
+
+    def train_slices(self) -> TrainSliceSource:
+        if self._train_source is None:
+            self._train_source = self._build_source("train")
+        return self._train_source
+
+    def val_slices(self) -> TrainSliceSource:
+        if self._val_source is None:
+            self._val_source = self._build_source("val")
+        return self._val_source
+
+    def val_eval(self) -> EvalDataset:
+        return EvalDataset(self.csv["val"], self.cfg, "IXI", "val")
+
+    def test_eval(self) -> EvalDataset:
+        return EvalDataset(self.csv["test"], self.cfg, "IXI", "test")
+
+
+class _EvalModule:
+    """Shared shape of the eval datamodules (reference Datamodules_eval.py)."""
+
+    SETNAME = ""
+    SAMPLE_N = 8
+
+    def __init__(self, cfg: DataConfig, fold: int = 0):
+        self.cfg = cfg
+        base = cfg.data_dir
+        splits = os.path.join(base, "Data", "splits")
+        self.csv = {}
+        for state in ("val", "test"):
+            df = pd.read_csv(os.path.join(splits, f"{self.SETNAME}_{state}.csv"))
+            df = _prefix_paths(df, base, with_seg=True)
+            df["setname"] = self.SETNAME
+            df["settype"] = state
+            df = self._mode_rewrite(df)
+            if cfg.sample_set:
+                df = df[0 : self.SAMPLE_N]
+            self.csv[state] = df
+
+    def _mode_rewrite(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self.cfg.mode != "t1":
+            m = self.cfg.mode
+            df["img_path"] = df["img_path"].str.replace("t1", m, regex=False)
+        return df
+
+    def val_eval(self) -> EvalDataset:
+        return EvalDataset(self.csv["val"], self.cfg, self.SETNAME, "val")
+
+    def test_eval(self) -> EvalDataset:
+        return EvalDataset(self.csv["test"], self.cfg, self.SETNAME, "test")
+
+    # reference-compatible aliases (Datamodules_eval val/test_dataloader)
+    val_dataloader = val_eval
+    test_dataloader = test_eval
+
+
+class Brats21(_EvalModule):
+    SETNAME = "Brats21"
+    SAMPLE_N = 8
+
+
+class MSLUB(_EvalModule):
+    SETNAME = "MSLUB"
+    SAMPLE_N = 4
+
+
+class ATLAS(_EvalModule):
+    """t1-only stroke-lesion set (named in reference README.md:12-19 and
+    train.py:189; unimplemented in the fork — rebuilt here)."""
+
+    SETNAME = "ATLAS"
+    SAMPLE_N = 8
+
+
+class WMH(_EvalModule):
+    """t1-mode white-matter-hyperintensity set (same provenance as ATLAS)."""
+
+    SETNAME = "WMH"
+    SAMPLE_N = 8
+
+
+EVAL_MODULES = {"Brats21": Brats21, "MSLUB": MSLUB, "ATLAS": ATLAS, "WMH": WMH}
+
+# modality gating of the reference train loop (src/train.py:187-190)
+SETS_BY_MODE = {
+    "t1": ["Brats21", "MSLUB", "ATLAS", "WMH", "IXI"],
+    "t2": ["Brats21", "MSLUB", "IXI"],
+}

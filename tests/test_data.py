@@ -1,0 +1,126 @@
+"""End-to-end data layer tests on synthetic NIfTI fixtures
+(reference data layer: src/datamodules/*; SURVEY.md §4 synthetic-fixture
+strategy)."""
+import numpy as np
+import pytest
+
+from conditioned_diffusion_models_uad_tpu.data.datamodules import (
+    ATLAS,
+    Brats21,
+    DataConfig,
+    IXI,
+    MSLUB,
+    WMH,
+    load_subject,
+)
+from conditioned_diffusion_models_uad_tpu.data.nifti import read_nifti, write_nifti
+from conditioned_diffusion_models_uad_tpu.data.synthetic import (
+    build_synthetic_root,
+    make_volume,
+)
+
+SHAPE = (32, 32, 16)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthdata")
+    return build_synthetic_root(
+        str(root), shape=SHAPE, n_train=3, n_val=2, n_test=2, n_eval=2,
+        eval_sets=("Brats21", "MSLUB", "ATLAS", "WMH"),
+    )
+
+
+def _cfg(root):
+    return DataConfig(
+        data_dir=root, image_dim=(32, 32, 16), rescale_factor=2.0, batch_size=2,
+        use_curvature_flow=True,
+    )
+
+
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(7, 9, 11)).astype(np.float32)
+    for name in ["a.nii", "a.nii.gz"]:
+        p = str(tmp_path / name)
+        write_nifti(p, vol, spacing=(1.0, 2.0, 3.0))
+        back, hdr = read_nifti(p)
+        np.testing.assert_allclose(back, vol, rtol=1e-6)
+        assert hdr.shape == (7, 9, 11)
+        assert hdr.spacing[:3] == (1.0, 2.0, 3.0)
+
+
+def test_nifti_int_dtype_roundtrip(tmp_path):
+    vol = (np.arange(24).reshape(2, 3, 4) % 5).astype(np.int16)
+    p = str(tmp_path / "b.nii.gz")
+    write_nifti(p, vol)
+    back, _ = read_nifti(p)
+    np.testing.assert_array_equal(back, vol.astype(np.float32))
+
+
+def test_make_volume_lesions():
+    rng = np.random.default_rng(1)
+    vol, mask, seg = make_volume(rng, SHAPE, n_lesions=2)
+    assert vol.shape == mask.shape == seg.shape == SHAPE
+    assert seg.sum() > 0
+    assert (seg * mask == seg).all()  # lesions inside the brain
+    assert mask.sum() > 0.1 * np.prod(SHAPE)
+
+
+def test_load_subject_shapes(data_root):
+    cfg = _cfg(data_root)
+    ixi = IXI(cfg, fold=0)
+    sub = load_subject(ixi.csv["train"].iloc[0], cfg, keep_orig=True)
+    assert sub["vol"].shape == (16, 16, 8)  # /2 downsample
+    assert sub["vol_orig"].shape == (16, 16, 8)  # resizedEvaluation -> also resampled
+    # cubic B-spline resampling can ring slightly outside [0,1], exactly like
+    # the reference's torchio bspline Resample (no clipping there either)
+    assert -0.15 <= sub["vol"].min() and sub["vol"].max() <= 1.15
+    assert sub["label"] == 0 and not sub["seg_available"]
+
+
+def test_train_slice_source_epoch(data_root):
+    cfg = _cfg(data_root)
+    ixi = IXI(cfg, fold=0)
+    src = ixi.train_slices()
+    assert len(src) == 3
+    rng = np.random.default_rng(0)
+    batches = list(src.epoch_indices(rng))
+    assert len(batches) == 1  # 3 subjects, bs 2, drop_last
+    vol_idx, slice_idx = batches[0]
+    x, m = src.gather(vol_idx, slice_idx)
+    assert x.shape == (2, 16, 16, 1)
+    assert m.shape == (2, 16, 16, 1)
+    assert np.asarray(x).max() <= 1.15
+
+
+def test_unique_slice_mode(data_root):
+    cfg = _cfg(data_root)
+    cfg.unique_slice = True
+    cfg.drop_last = False
+    ixi = IXI(cfg, fold=0)
+    src = ixi.train_slices()
+    rng = np.random.default_rng(0)
+    for _, slice_idx in src.epoch_indices(rng):
+        assert len(set(slice_idx.tolist())) == 1
+
+
+def test_eval_modules(data_root):
+    cfg = _cfg(data_root)
+    for mod_cls, name in [(Brats21, "Brats21"), (MSLUB, "MSLUB"), (ATLAS, "ATLAS"), (WMH, "WMH")]:
+        mod = mod_cls(cfg)
+        ds = mod.val_eval()
+        assert len(ds) == 2
+        sub = ds[0]
+        assert sub["Dataset"] == name and sub["stage"] == "val"
+        assert sub["seg_available"]
+        assert sub["seg_orig"].shape == sub["vol_orig"].shape
+        assert sub["seg_orig"].sum() > 0
+        assert sub["label"] == 1
+
+
+def test_sample_set_subsetting(data_root):
+    cfg = _cfg(data_root)
+    cfg.sample_set = True
+    mod = MSLUB(cfg)
+    assert len(mod.val_eval()) <= 4

@@ -1,0 +1,155 @@
+"""Tests for the ResNet encoder family + SparK MIM stack
+(reference semantics: src/models/modules/spark/* and DDPM_encoder.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conditioned_diffusion_models_uad_tpu.models.resnet import (
+    MaskedBatchNorm,
+    ResNetBackbone,
+    ResNetConfig,
+    ResNetEncoder,
+    upsample_mask,
+)
+from conditioned_diffusion_models_uad_tpu.models.spark import (
+    LightDecoder,
+    SparKConfig,
+    SparKModel,
+    patchify,
+    random_mask,
+    spark_spatial_loss,
+    unpatchify,
+)
+
+R18 = ResNetConfig(variant="resnet18")
+
+
+def test_backbone_pyramid_shapes():
+    """96x96 input -> pyramid at /4,/8,/16,/32 (24,12,6,3), the shapes the SparK
+    densify stage expects (reference spark/resnet.py smoke test)."""
+    model = ResNetBackbone(R18)
+    x = jnp.zeros((2, 96, 96, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(params, x)
+    assert [f.shape[1] for f in feats] == [24, 12, 6, 3]
+    assert [f.shape[-1] for f in feats] == [64, 128, 256, 512]
+
+
+def test_resnet50_feature_dims():
+    model = ResNetBackbone(ResNetConfig(variant="resnet50"))
+    x = jnp.zeros((1, 96, 96, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(params, x)
+    assert [f.shape[-1] for f in feats] == [256, 512, 1024, 2048]
+
+
+def test_encoder_head_shape():
+    """The conditioning encoder emits [B, cond_dim] — the `c` vector of the cDDPM
+    (reference NEW_OUTPUT.txt records [50,512]-ish features; head maps to 128)."""
+    model = ResNetEncoder(R18, cond_dim=128)
+    x = jnp.zeros((3, 96, 96, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (3, 128)
+
+
+def test_masked_bn_statistics():
+    """Masked BN must compute moments over active positions only."""
+    bn = MaskedBatchNorm()
+    x = jnp.concatenate(
+        [jnp.full((1, 2, 2, 1), 1.0), jnp.full((1, 2, 2, 1), 100.0)], axis=1
+    )  # [1,4,2,1]: top half 1.0, bottom half 100.0
+    mask = jnp.concatenate([jnp.ones((1, 2, 2, 1)), jnp.zeros((1, 2, 2, 1))], axis=1)
+    variables = bn.init(jax.random.PRNGKey(0), x, mask, use_running_average=False)
+    y, mutated = bn.apply(
+        x=x, mask=mask, use_running_average=False,
+        variables=variables, mutable=["batch_stats"],
+    )
+    y = np.asarray(y)
+    # active positions all equal 1.0 -> normalized to ~0; inactive zeroed
+    np.testing.assert_allclose(y[0, :2], 0.0, atol=1e-2)
+    np.testing.assert_allclose(y[0, 2:], 0.0, atol=1e-8)
+    # running stats moved toward active-only mean (1.0), not global (50.5)
+    new_mean = float(mutated["batch_stats"]["mean"][0])
+    assert abs(new_mean - 0.1 * 1.0) < 1e-3  # momentum 0.9: 0.9*0 + 0.1*1.0
+
+
+def test_sparse_masking_zeroes_inactive_regions():
+    """With an active grid, backbone features at masked sites must be ~0 (the
+    SparK sparse-conv invariant, reference encoder.py:19-35)."""
+    cfg = ResNetConfig(variant="resnet18")
+    model = ResNetBackbone(cfg)
+    x = jnp.ones((1, 96, 96, 1))
+    active = jnp.zeros((1, 3, 3), bool).at[0, 0, 0].set(True)
+    params = model.init(jax.random.PRNGKey(0), x, active)
+    feats = model.apply(params, x, active)
+    c5 = np.asarray(feats[-1])  # [1,3,3,512]
+    assert np.abs(c5[0, 1:, 1:]).max() < 1e-5  # masked sites are zero
+    # note: neighboring sites of (0,0) can leak via conv halo before masking,
+    # but strictly-masked interior sites must be exactly zeroed.
+
+
+def test_upsample_mask():
+    a = jnp.array([[[1, 0], [0, 1]]], dtype=bool)
+    m = np.asarray(upsample_mask(a, 4, 4))
+    assert m.shape == (1, 4, 4, 1)
+    np.testing.assert_array_equal(m[0, :2, :2, 0], 1.0)
+    np.testing.assert_array_equal(m[0, :2, 2:, 0], 0.0)
+
+
+def test_random_mask_exact_keep_count():
+    key = jax.random.PRNGKey(0)
+    active = random_mask(key, 8, 3, 3)  # keep 3 of 9
+    a = np.asarray(active)
+    assert a.shape == (8, 3, 3)
+    np.testing.assert_array_equal(a.reshape(8, -1).sum(1), 3)
+    # different samples get different masks (overwhelmingly likely)
+    assert not np.array_equal(a[0], a[1]) or not np.array_equal(a[1], a[2])
+
+
+def test_patchify_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+    p = patchify(x, 4)
+    assert p.shape == (2, 4, 16)
+    x2 = unpatchify(p, 4, 2)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x))
+
+
+def test_light_decoder_shapes():
+    dec = LightDecoder(dec_dim=128)
+    to_dec = [
+        jnp.zeros((1, 3, 3, 128)),
+        jnp.zeros((1, 6, 6, 64)),
+        jnp.zeros((1, 12, 12, 32)),
+        jnp.zeros((1, 24, 24, 16)),
+    ]
+    params = dec.init(jax.random.PRNGKey(0), to_dec)
+    out = dec.apply(params, to_dec)
+    assert out.shape == (1, 96, 96, 1)
+
+
+def test_spark_forward_and_loss():
+    cfg = SparKConfig(backbone="resnet18", input_size=96, dec_dim=64)
+    model = SparKModel(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 96, 96, 1))
+    active = random_mask(jax.random.PRNGKey(3), 2, cfg.fmap_size, cfg.len_keep)
+    variables = model.init(jax.random.PRNGKey(0), x, active)
+    reco = model.apply(variables, x, active)
+    assert reco.shape == (2, 96, 96, 1)
+    loss = spark_spatial_loss(cfg, x, reco, active)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_spark_loss_only_on_masked_patches():
+    cfg = SparKConfig(backbone="resnet18", input_size=96)
+    x = jnp.ones((1, 96, 96, 1))
+    active = jnp.zeros((1, 3, 3), bool).at[0, 0, 0].set(True)
+    # reconstruction perfect on masked patches, wrong on the active patch
+    rec = jnp.ones((1, 96, 96, 1)).at[:, :32, :32].set(5.0)
+    loss = spark_spatial_loss(cfg, x, rec, active)
+    assert float(loss) == pytest.approx(0.0, abs=1e-6)
+    # now corrupt a masked patch -> loss appears
+    rec2 = jnp.ones((1, 96, 96, 1)).at[:, 32:64, 32:64].set(2.0)
+    loss2 = spark_spatial_loss(cfg, x, rec2, active)
+    assert float(loss2) > 0.1

@@ -1,0 +1,104 @@
+"""Golden tests for preprocessing transforms against scipy/numpy oracles
+(reference pipeline: src/datamodules/create_dataset.py:196-258)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conditioned_diffusion_models_uad_tpu.data.transforms import (
+    bspline_downsample,
+    bspline_prefilter,
+    bspline_resample_to,
+    crop_or_pad,
+    curvature_flow,
+    nearest_downsample,
+    percentile_rescale,
+    resize_trilinear,
+)
+
+scipy_ndimage = pytest.importorskip("scipy.ndimage")
+
+
+def test_crop_or_pad_crop():
+    v = np.arange(4 * 6 * 8, dtype=np.float32).reshape(4, 6, 8)
+    out = crop_or_pad(v, (2, 6, 4))
+    assert out.shape == (2, 6, 4)
+    np.testing.assert_array_equal(out, v[1:3, :, 2:6])
+
+
+def test_crop_or_pad_pad():
+    v = np.ones((2, 2, 2), np.float32)
+    out = crop_or_pad(v, (4, 2, 5))
+    assert out.shape == (4, 2, 5)
+    assert out.sum() == v.sum()  # zero padding
+    np.testing.assert_array_equal(out[1:3, :, 1:3], 1.0)
+
+
+def test_percentile_rescale_masked():
+    rng = np.random.default_rng(0)
+    vol = rng.normal(100, 20, size=(16, 16, 16)).astype(np.float32)
+    mask = np.zeros_like(vol)
+    mask[4:12, 4:12, 4:12] = 1
+    out = np.asarray(percentile_rescale(jnp.asarray(vol), jnp.asarray(mask)))
+    vals = vol[mask > 0]
+    lo, hi = np.percentile(vals, [1, 99])
+    expected = (np.clip(vol, lo, hi) - lo) / (hi - lo)
+    np.testing.assert_allclose(out, expected, atol=2e-3)
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_curvature_flow_smooths_and_preserves_mean():
+    rng = np.random.default_rng(1)
+    vol = rng.normal(0, 1, size=(24, 24, 24)).astype(np.float32)
+    out = np.asarray(curvature_flow(jnp.asarray(vol)))
+    assert out.std() < vol.std()  # denoises
+    assert abs(out.mean() - vol.mean()) < 0.05  # roughly conservative
+    assert np.all(np.isfinite(out))
+    # constant volumes are fixed points
+    const = np.full((8, 8, 8), 3.0, np.float32)
+    np.testing.assert_allclose(np.asarray(curvature_flow(jnp.asarray(const))), 3.0, atol=1e-5)
+
+
+def test_bspline_prefilter_matches_scipy():
+    rng = np.random.default_rng(2)
+    vol = rng.normal(size=(12, 10, 8)).astype(np.float32)
+    ours = np.asarray(bspline_prefilter(jnp.asarray(vol)))
+    ref = scipy_ndimage.spline_filter(vol.astype(np.float64), order=3, mode="mirror")
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_bspline_resample_matches_scipy_map_coordinates():
+    rng = np.random.default_rng(3)
+    vol = rng.normal(size=(20, 18, 16)).astype(np.float32)
+    out = np.asarray(bspline_downsample(jnp.asarray(vol), 2.0))
+    assert out.shape == (10, 9, 8)
+    grid = np.meshgrid(
+        np.arange(10) * 2.0, np.arange(9) * 2.0, np.arange(8) * 2.0, indexing="ij"
+    )
+    ref = scipy_ndimage.map_coordinates(
+        vol.astype(np.float64), np.stack(grid), order=3, mode="mirror", prefilter=True
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-2)
+
+
+def test_bspline_identity_resample():
+    """Resampling to the same grid reproduces the input (interpolation property)."""
+    rng = np.random.default_rng(4)
+    vol = rng.normal(size=(9, 9, 9)).astype(np.float32)
+    out = np.asarray(bspline_resample_to(jnp.asarray(vol), (9, 9, 9), factors=(1.0, 1.0, 1.0)))
+    np.testing.assert_allclose(out, vol, atol=1e-3)
+
+
+def test_nearest_downsample_labels():
+    seg = np.zeros((8, 8, 8), np.float32)
+    seg[0:4] = 1
+    out = np.asarray(nearest_downsample(jnp.asarray(seg), 2.0))
+    assert out.shape == (4, 4, 4)
+    assert set(np.unique(out)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(out[0:2], 1.0)
+
+
+def test_resize_trilinear_shape():
+    v = jnp.ones((4, 4, 4))
+    out = resize_trilinear(v, (8, 7, 6))
+    assert out.shape == (8, 7, 6)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)

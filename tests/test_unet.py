@@ -1,0 +1,120 @@
+"""Tests for the flax UNet: shapes, conditioning pathway, zero-init output,
+attention placement, and parameter budget vs the reference architecture
+(reference: src/models/modules/OpenAI_Unet.py:483-1006, DDPM_2D.py:37-60)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conditioned_diffusion_models_uad_tpu.models.unet import (
+    UNetConfig,
+    UNetModel,
+    count_params,
+    timestep_embedding,
+)
+
+SMALL = UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1, cond_dim=16)
+
+
+def _init(cfg, hw=32, cond_dim=None):
+    model = UNetModel(cfg)
+    x = jnp.zeros((2, hw, hw, cfg.in_channels))
+    t = jnp.array([1, 2])
+    cond = None if cfg.cond_dim is None else jnp.ones((2, cfg.cond_dim))
+    params = model.init(jax.random.PRNGKey(0), x, t, cond)
+    return model, params, x, t, cond
+
+
+def test_timestep_embedding_properties():
+    emb = timestep_embedding(jnp.array([0, 1, 100]), 128)
+    assert emb.shape == (3, 128)
+    e = np.asarray(emb)
+    # t=0: cos half = 1, sin half = 0
+    np.testing.assert_allclose(e[0, :64], 1.0, atol=1e-6)
+    np.testing.assert_allclose(e[0, 64:], 0.0, atol=1e-6)
+    assert not np.allclose(e[1], e[2])
+
+
+def test_output_shape_and_zero_init():
+    model, params, x, t, cond = _init(SMALL)
+    out = model.apply(params, x, t, cond)
+    assert out.shape == (2, 32, 32, 1)
+    # zero-initialized output conv -> output is exactly zero at init
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_conditioning_changes_output_after_perturbation():
+    """After nudging the zero-init out conv, different cond vectors give
+    different outputs (the label-embedding pathway is live)."""
+    model, params, x, t, _ = _init(SMALL)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 * jax.random.normal(jax.random.PRNGKey(1), p.shape), params
+    )
+    c1 = jnp.ones((2, 16))
+    c2 = -jnp.ones((2, 16))
+    o1 = model.apply(params, x, t, c1)
+    o2 = model.apply(params, x, t, c2)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_timestep_changes_output():
+    model, params, x, _, cond = _init(SMALL)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 * jax.random.normal(jax.random.PRNGKey(2), p.shape), params
+    )
+    o1 = model.apply(params, x, jnp.array([1, 1]), cond)
+    o2 = model.apply(params, x, jnp.array([500, 500]), cond)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_unconditional_variant():
+    cfg = UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1, cond_dim=None)
+    model, params, x, t, _ = _init(cfg)
+    out = model.apply(params, x, t, None)
+    assert out.shape == (2, 32, 32, 1)
+
+
+def test_flagship_config_builds_and_param_count():
+    """Flagship cDDPM UNet (96x96, mc=128, mult (1,2,2), 3 res blocks, cond 128).
+    The torch reference at this config has ~113M params in the UNet; the flax
+    rebuild must land in the same ballpark (same architecture family)."""
+    cfg = UNetConfig()  # defaults = flagship
+    model = UNetModel(cfg)
+    # param count is independent of spatial size; init at 16x16 to keep the
+    # CPU test fast (the real 96x96 path is exercised on TPU by bench.py)
+    x = jnp.zeros((1, 16, 16, 1))
+    t = jnp.array([0])
+    cond = jnp.zeros((1, 128))
+    params = model.init(jax.random.PRNGKey(0), x, t, cond)
+    n = count_params(params)
+    # architecture-scale check: tens of millions, not thousands or billions
+    assert 30e6 < n < 200e6, f"param count {n/1e6:.1f}M out of expected band"
+    out = model.apply(params, x, t, cond)
+    assert out.shape == (1, 16, 16, 1)
+
+
+def test_bfloat16_compute_path():
+    cfg = UNetConfig(
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=1, cond_dim=16,
+        dtype="bfloat16",
+    )
+    model, params, x, t, cond = _init(cfg)
+    # params remain fp32
+    assert all(
+        p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(params)
+    )
+    out = model.apply(params, x, t, cond)
+    assert out.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_grad_flow():
+    model, params, x, t, cond = _init(SMALL)
+
+    def loss_fn(p):
+        out = model.apply(p, x, t, cond)
+        return ((out - 1.0) ** 2).mean()
+
+    g = jax.grad(loss_fn)(params)
+    gnorm = sum(float((gg**2).sum()) for gg in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
