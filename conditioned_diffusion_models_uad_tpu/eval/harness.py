@@ -1,0 +1,369 @@
+"""Anomaly-detection evaluation harness: per-volume scoring + aggregation.
+
+Capability parity with the reference's model-agnostic eval mixin
+(reference: src/utils/utils_eval.py):
+
+* ``get_eval_dictionary``  — the ~90-key result schema             (ref :324-445)
+* ``EvalSession.test_step``— per-volume pipeline: residual → brain-mask
+  erosion → 3D median → pixel AUROC/AUPRC → greedy threshold search (val) or
+  val-derived threshold (test) → connected-component filter → Dice, confusion
+  stats, Hausdorff → per-slice metrics → slice/sample anomaly scores
+                                                                    (ref :18-194)
+* ``EvalSession.test_end`` — nan-mean/std aggregation; val-stage global
+  threshold fit over pooled residuals (lesion sets) or FPR-quantile thresholds
+  (healthy sets)                                                    (ref :196-297)
+* ``log_images``           — 4-panel grid (orig/reco/residual/seg) every 10th
+  slice, saved under <out_dir>/grid                                 (ref :586-628)
+
+The device↔host split (SURVEY.md §7): the residual/erosion/median chain and
+the masked slice means run fused on device (`postprocess.py`); the
+data-dependent parts (ROC sorting, connected components, greedy search,
+Hausdorff) run on host numpy over the small [H,W,D] volume.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import metrics as M
+from . import postprocess as P
+
+HEALTHY_SETS = ("IXI",)
+
+
+def get_eval_dictionary() -> dict:
+    """The reference's eval-result schema (utils_eval.py:324-445). Keys that
+    belong to dead reference paths (KLD/gradELBO/age) are kept so downstream
+    consumers of the pickled dict see the same shape."""
+    keys_lists = [
+        "IDs", "x", "reconstructions", "diffs", "diffs_volume", "Segmentation",
+        "reconstructionTimes", "latentSpace", "Age", "AgeGroup",
+        "l1reconstructionErrors", "l1recoErrorAll", "l1recoErrorUnhealthy",
+        "l1recoErrorHealthy", "l2recoErrorAll", "l2recoErrorUnhealthy",
+        "l2recoErrorHealthy", "l2reconstructionErrors",
+        "HausPerVol", "TPPerVol", "FPPerVol", "FNPerVol", "TNPerVol",
+        "TPRPerVol", "FPRPerVol", "TPTotal", "FPTotal", "FNTotal", "TNTotal",
+        "TPRTotal", "FPRTotal", "PrecisionPerVol", "RecallPerVol",
+        "PrecisionPerSlice", "RecallPerSlice", "lesionSizePerSlice",
+        "lesionSizePerVol", "Dice", "DiceScorePerSlice", "DiceScorePerVol",
+        "BestDicePerVol", "BestThresholdPerVol", "AUCPerVol", "AUPRCPerVol",
+        "SpecificityPerVol", "AccuracyPerVol",
+        "TPgradELBO", "FPgradELBO", "FNgradELBO", "TNgradELBO",
+        "TPRgradELBO", "FPRgradELBO", "DicegradELBO", "DiceScorePerVolgradELBO",
+        "BestDicePerVolgradELBO", "BestThresholdPerVolgradELBO",
+        "AUCPerVolgradELBO", "AUPRCPerVolgradELBO", "KLD_to_learned_prior",
+        "AUCAnomalyCombPerSlice", "AUPRCAnomalyCombPerSlice",
+        "AnomalyScoreCombPerSlice", "AUCAnomalyKLDPerSlice",
+        "AUPRCAnomalyKLDPerSlice", "AnomalyScoreKLDPerSlice",
+        "AUCAnomalyRecoPerSlice", "AUPRCAnomalyRecoPerSlice",
+        "AnomalyScoreRecoPerSlice", "AnomalyScoreRecoBinPerSlice",
+        "AnomalyScoreAgePerSlice", "AUCAnomalyAgePerSlice",
+        "AUPRCAnomalyAgePerSlice", "labelPerSlice", "labelPerVol",
+        "AnomalyScoreCombPerVol", "AnomalyScoreCombiPerVol",
+        "AnomalyScoreCombMeanPerVol", "AnomalyScoreRegPerVol",
+        "AnomalyScoreRegMeanPerVol", "AnomalyScoreRecoPerVol",
+        "AnomalyScoreCombPriorPerVol", "AnomalyScoreCombiPriorPerVol",
+        "AnomalyScoreAgePerVol", "AnomalyScoreRecoMeanPerVol",
+        "DiceScoreKLPerVol", "DiceScoreKLCombPerVol", "BestDiceKLCombPerVol",
+        "BestDiceKLPerVol", "AUCKLCombPerVol", "AUPRCKLCombPerVol",
+        "AUCKLPerVol", "AUPRCKLPerVol", "TPKLCombPerVol", "FPKLCombPerVol",
+        "TNKLCombPerVol", "FNKLCombPerVol", "TPRKLCombPerVol", "FPRKLCombPerVol",
+        "TPKLPerVol", "FPKLPerVol", "TNKLPerVol", "FNKLPerVol", "TPRKLPerVol",
+        "FPRKLPerVol",
+    ]
+    d = {k: [] for k in keys_lists}
+    d.update(
+        {
+            "l1reconstructionErrorMean": 0.0,
+            "l1reconstructionErrorStd": 0.0,
+            "l2reconstructionErrorMean": 0.0,
+            "l2reconstructionErrorStd": 0.0,
+        }
+    )
+    return d
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    """Knobs of the eval chain (reference cfg.* reads in utils_eval.py)."""
+
+    resized_evaluation: bool = True
+    new_size: Sequence[int] = (160, 190, 160)
+    residualmode: str = "l1"
+    erode_brainmask: bool = True
+    median_filtering: bool = True
+    kernelsize_median: int = 5
+    eval_seg: bool = True
+    threshold: str = "auto"  # 'auto' or a float
+    cc_min_size: int = 8  # drop components <= 7 voxels (ref :500)
+    save_output_images: bool = False
+    save_to_disc: bool = True
+    use_postprocessed_score: bool = True
+    out_dir: str = "."
+
+
+class EvalSession:
+    """One val or test pass over a dataset: call `test_step` per volume, then
+    `test_end`. Mirrors the reference mixin state (self.eval_dict,
+    self.diffs_list/seg_list accumulation, self.threshold handoff)."""
+
+    def __init__(
+        self,
+        cfg: EvalConfig,
+        dataset_name: str,
+        stage: str,  # 'val' | 'test'
+        threshold: Optional[dict] = None,  # val-fit threshold for the test stage
+    ):
+        self.cfg = cfg
+        self.dataset = dataset_name
+        self.stage = stage
+        self.eval_dict = get_eval_dictionary()
+        self.threshold = dict(threshold) if threshold else {}
+        self.threshholds_healthy: dict = {}
+        self._diffs_list: list = []
+        self._seg_list: list = []
+        self.is_healthy = dataset_name in HEALTHY_SETS
+
+    # ------------------------------------------------------------------ #
+    def test_step(
+        self,
+        final_volume: np.ndarray,  # [H, W, D] reconstruction in [0,1]
+        data_orig: np.ndarray,  # [H, W, D]
+        data_seg: Optional[np.ndarray],  # [H, W, D] or None
+        data_mask: np.ndarray,  # [H, W, D]
+        batch_idx: int = 0,
+        ID: str = "",
+        label_vol: int = 0,
+    ) -> None:
+        cfg = self.cfg
+        final_volume = jnp.asarray(final_volume, dtype=jnp.float32)
+        if not cfg.resized_evaluation:
+            final_volume = P.resize_trilinear(final_volume, tuple(cfg.new_size))
+        orig = jnp.asarray(data_orig, dtype=jnp.float32)
+        mask = jnp.asarray(data_mask, dtype=jnp.float32)
+        seg = (
+            jnp.asarray(data_seg, dtype=jnp.float32)
+            if data_seg is not None
+            else jnp.zeros_like(mask)
+        )
+
+        # reconstruction errors w.r.t. anomal/normal regions (ref :36-49)
+        errs = P.reco_errors(orig, final_volume, seg)
+        for k, v in errs.items():
+            self.eval_dict[k].append(float(v))
+
+        # fused device chain: residual → erosion → median (ref :28-69)
+        erode_iters = int(orig.shape[1]) // 25 if cfg.erode_brainmask else 0
+        diff = P.postprocess_residual(
+            orig,
+            final_volume,
+            mask,
+            residualmode=cfg.residualmode,
+            erode_iterations=erode_iters,
+            median_kernel=cfg.kernelsize_median if cfg.median_filtering else 1,
+        )
+        slice_scores = np.asarray(P.slice_anomaly_scores(diff, mask))
+        vol_score = float(P.volume_anomaly_score(diff, mask))
+        diff = np.asarray(diff)
+        seg_np = np.asarray(seg) > 0
+        mask_np = np.asarray(mask) > 0
+
+        if cfg.save_output_images:
+            log_images(
+                self.cfg, diff, np.asarray(orig), seg_np, mask_np,
+                np.asarray(final_volume), ID, self.dataset,
+            )
+
+        # --- segmentation metrics (lesion sets only, ref :77-144) -------- #
+        if cfg.eval_seg and not self.is_healthy:
+            flat_diff = diff.ravel()
+            flat_seg = seg_np.ravel()
+            AUC, _, _, _ = M.compute_roc(flat_diff, flat_seg)
+            AUPRC, _, _, _ = M.compute_prc(flat_diff, flat_seg)
+
+            bestDice, bestThresh = M.find_best_val(
+                flat_diff, flat_seg, val_range=(0, float(diff.max())), max_steps=10
+            )
+            if "test" in self.stage:
+                bestThresh = self.threshold["total"]
+            th = bestThresh if cfg.threshold == "auto" else float(cfg.threshold)
+            thresholded = diff > th
+            thresholded = M.filter_3d_connected_components(
+                thresholded, min_size=cfg.cc_min_size
+            )
+
+            diceScore = M.dice(thresholded, flat_seg)
+            TP, FP, TN, FN = M.confusion_counts(thresholded, flat_seg)
+            prec, rec, spec, acc = M.precision_recall_specificity_accuracy(
+                thresholded, flat_seg
+            )
+            d = self.eval_dict
+            d["lesionSizePerVol"].append(int(flat_seg.sum()))
+            d["DiceScorePerVol"].append(diceScore)
+            d["BestDicePerVol"].append(bestDice)
+            d["BestThresholdPerVol"].append(bestThresh)
+            d["AUCPerVol"].append(AUC)
+            d["AUPRCPerVol"].append(AUPRC)
+            d["TPPerVol"].append(TP)
+            d["FPPerVol"].append(FP)
+            d["TNPerVol"].append(TN)
+            d["FNPerVol"].append(FN)
+            d["TPRPerVol"].append(M.tpr(thresholded, flat_seg))
+            d["FPRPerVol"].append(M.fpr(thresholded, flat_seg))
+            d["IDs"].append(ID)
+            d["AccuracyPerVol"].append(acc)
+            d["PrecisionPerVol"].append(prec)
+            d["RecallPerVol"].append(rec)
+            d["SpecificityPerVol"].append(spec)
+            d["HausPerVol"].append(M.hausdorff_distance(thresholded, seg_np))
+
+            # per-slice metrics on lesion slices (ref :137-144); depth is the
+            # LAST axis here (reference iterates the first axis of its
+            # permuted volume — same set of slices)
+            for s in range(seg_np.shape[-1]):
+                seg_slice = seg_np[..., s]
+                if seg_slice.any():
+                    pred_slice = diff[..., s] > bestThresh
+                    d["DiceScorePerSlice"].append(M.dice(pred_slice, seg_slice))
+                    p_s, r_s, _, _ = M.precision_recall_specificity_accuracy(
+                        pred_slice, seg_slice
+                    )
+                    d["PrecisionPerSlice"].append(p_s)
+                    d["RecallPerSlice"].append(r_s)
+                    d["lesionSizePerSlice"].append(int(seg_slice.sum()))
+
+        # val-stage pooling for the global threshold fit (ref :146-152)
+        if "val" in self.stage:
+            self._diffs_list.append(diff.ravel())
+            self._seg_list.append(seg_np.ravel().astype(np.int8))
+
+        # slice-wise anomaly scores + labels (ref :154-183)
+        if diff.ndim != 2:
+            slice_labels = [
+                int(seg_np[..., s].any()) for s in range(seg_np.shape[-1])
+            ]
+            if not self.is_healthy:
+                d = self.eval_dict
+                AUC_s, _, _, _ = M.compute_roc(slice_scores, np.array(slice_labels))
+                AUPRC_s, _, _, _ = M.compute_prc(slice_scores, np.array(slice_labels))
+                d["AUCAnomalyRecoPerSlice"].append(AUC_s)
+                d["AUPRCAnomalyRecoPerSlice"].append(AUPRC_s)
+                d["labelPerSlice"].extend(slice_labels)
+                d["AnomalyScoreRecoPerSlice"].extend(slice_scores.tolist())
+
+        # sample-wise anomaly scores (ref :185-194)
+        if cfg.use_postprocessed_score:
+            d = self.eval_dict
+            d["AnomalyScoreRecoPerVol"].append(vol_score)
+            d["AnomalyScoreCombPerVol"].append(vol_score)
+            d["AnomalyScoreCombiPerVol"].append(vol_score)
+            d["AnomalyScoreCombPriorPerVol"].append(vol_score)
+            d["AnomalyScoreCombiPriorPerVol"].append(vol_score)
+        self.eval_dict["labelPerVol"].append(int(label_vol))
+
+    # ------------------------------------------------------------------ #
+    def test_end(self) -> dict:
+        """Aggregate (nan)mean/std over volumes; fit the val threshold
+        (ref _test_end, utils_eval.py:196-297). Returns the eval dict."""
+        d = self.eval_dict
+
+        def agg(key, out, nan=True):
+            vals = np.asarray(d[key], dtype=np.float64)
+            if vals.size == 0:
+                d[out + "Mean"], d[out + "Std"] = float("nan"), float("nan")
+                return
+            mean = np.nanmean(vals) if nan else np.mean(vals)
+            std = np.nanstd(vals) if nan else np.std(vals)
+            d[out + "Mean"], d[out + "Std"] = float(mean), float(std)
+
+        for key in (
+            "l1recoErrorAll", "l2recoErrorAll", "l1recoErrorHealthy",
+            "l1recoErrorUnhealthy", "l2recoErrorHealthy", "l2recoErrorUnhealthy",
+            "AUPRCPerVol", "AUCPerVol",
+        ):
+            agg(key, key)
+        agg("DiceScorePerVol", "DicePerVol")
+        for key in (
+            "BestDicePerVol", "BestThresholdPerVol", "PrecisionPerVol",
+            "RecallPerVol", "PrecisionPerSlice", "RecallPerSlice",
+            "AccuracyPerVol", "SpecificityPerVol",
+        ):
+            agg(key, key, nan=False)
+        for key in ("TPPerVol", "FPPerVol", "TNPerVol", "FNPerVol", "TPRPerVol", "FPRPerVol"):
+            agg(key, key)
+        haus = np.asarray(d["HausPerVol"], dtype=np.float64)
+        haus = haus[np.isfinite(haus)]
+        d["HausPerVolMean"] = float(np.nanmean(haus)) if haus.size else float("nan")
+        d["HausPerVolStd"] = float(np.nanstd(haus)) if haus.size else float("nan")
+
+        if "val" in self.stage:
+            if not self.is_healthy and self._diffs_list:
+                diffs = np.concatenate(self._diffs_list)
+                segs = np.concatenate(self._seg_list).astype(bool)
+                bestDice, bestThresh = M.find_best_val(
+                    diffs, segs, val_range=(0, float(diffs.max())), max_steps=10
+                )
+                self.threshold["total"] = bestThresh
+            elif self._diffs_list:
+                # healthy sets: FPR-quantile thresholds (ref :289-297)
+                diffs = np.concatenate(self._diffs_list)
+                qs = np.quantile(diffs, [0.99, 0.95, 0.90])
+                self.threshholds_healthy = {
+                    "thresh_1p": float(qs[0]),
+                    "thresh_5p": float(qs[1]),
+                    "thresh_10p": float(qs[2]),
+                }
+                d["t_1p"] = self.threshholds_healthy["thresh_1p"]
+                d["t_5p"] = self.threshholds_healthy["thresh_5p"]
+                d["t_10p"] = self.threshholds_healthy["thresh_10p"]
+        return d
+
+
+def log_images(
+    cfg: EvalConfig,
+    diff_volume: np.ndarray,
+    data_orig: np.ndarray,
+    data_seg: np.ndarray,
+    data_mask: np.ndarray,
+    final_volume: np.ndarray,
+    ID: str,
+    dataset_name: str,
+) -> list:
+    """4-panel grid (orig / reco / residual-inferno / seg) every 10th slice
+    (ref log_images, utils_eval.py:586-628). Returns saved paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.colors as colors
+    import matplotlib.pyplot as plt
+
+    grid_dir = os.path.join(cfg.out_dir, "grid")
+    os.makedirs(grid_dir, exist_ok=True)
+    paths = []
+    vmax = float(diff_volume.max()) + 0.01
+    for j in range(0, diff_volume.shape[-1], 10):
+        fig, ax = plt.subplots(1, 4, figsize=(16, 4))
+        fig.subplots_adjust(wspace=0.0)
+        ax[0].imshow(np.rot90(data_orig[..., j], 3), "gray")
+        ax[1].imshow(np.rot90(final_volume[..., j], 3), "gray")
+        ax[2].imshow(
+            np.rot90(diff_volume[..., j], 3), "inferno",
+            norm=colors.Normalize(vmin=0, vmax=vmax),
+        )
+        ax[3].imshow(np.rot90(data_seg[..., j], 3), "gray")
+        for axes in ax:
+            axes.set_xticks([])
+            axes.set_yticks([])
+            for side in ("top", "right", "bottom", "left"):
+                axes.spines[side].set_visible(False)
+        plt.tight_layout()
+        if cfg.save_to_disc:
+            p = os.path.join(grid_dir, f"{ID}_{j}_Grid.png")
+            plt.savefig(p, bbox_inches="tight")
+            paths.append(p)
+        plt.close(fig)
+    return paths

@@ -1,0 +1,203 @@
+"""Anomaly-segmentation metrics (host-side: irregular, data-dependent work).
+
+Capability parity with the reference's metric helpers
+(reference: src/utils/utils_eval.py):
+
+* ``dice``                          (ref :540-545)
+* ``compute_roc`` / ``compute_prc`` (ref :548-557, sklearn-based)
+* ``find_best_val``                 — Zimmerer greedy quartile threshold
+                                      search, 10 recursion steps (ref :508-539)
+* ``tpr`` / ``fpr``                 (ref :565-575)
+* ``confusion_counts``              (ref :108, sklearn confusion_matrix)
+* ``filter_3d_connected_components``— drop components with <= 7 voxels, full
+                                      (26-) connectivity (ref :489-503, built on
+                                      scipy.ndimage.label instead of skimage)
+* ``hausdorff_distance``            — symmetric euclidean surface Hausdorff
+                                      (ref :132-135 uses monai; rebuilt here on
+                                      scipy distance transforms — monai computes
+                                      max over directed surface distances)
+
+These run on CPU by design: connected components, ROC sorting, and the greedy
+search are data-dependent and tiny compared to the device-side reconstruction
+(SURVEY.md §7 "host/device split in eval").
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.ndimage as ndi
+from sklearn.metrics import (
+    accuracy_score,
+    average_precision_score,
+    auc,
+    confusion_matrix,
+    precision_recall_curve,
+    precision_recall_fscore_support,
+    roc_curve,
+)
+
+
+def dice(p: np.ndarray, g: np.ndarray) -> float:
+    """Dice = 2|P∩G| / (|P|+|G|) (ref utils_eval.py:540-545)."""
+    p = np.asarray(p).astype(np.float64).ravel()
+    g = np.asarray(g).astype(np.float64).ravel()
+    denom = p.sum() + g.sum()
+    if denom == 0:
+        return np.nan
+    return float(2.0 * (p * g).sum() / denom)
+
+
+def tpr(p: np.ndarray, g: np.ndarray) -> float:
+    """Sensitivity of a binary map (ref utils_eval.py:565-568)."""
+    p = np.asarray(p).astype(bool).ravel()
+    g = np.asarray(g).astype(bool).ravel()
+    tp = float(np.sum(p & g))
+    fn = float(np.sum((~p) & g))
+    return tp / (tp + fn) if (tp + fn) > 0 else np.nan
+
+
+def fpr(p: np.ndarray, g: np.ndarray) -> float:
+    """False-positive fraction among positives-predicted (ref :571-574 —
+    note the reference computes fp/(fp+tp), kept for parity)."""
+    p = np.asarray(p).astype(bool).ravel()
+    g = np.asarray(g).astype(bool).ravel()
+    tp = float(np.sum(p & g))
+    fp = float(np.sum(p & (~g)))
+    return fp / (fp + tp) if (fp + tp) > 0 else np.nan
+
+
+def compute_roc(predictions: np.ndarray, labels: np.ndarray):
+    """(AUROC, fpr, tpr, thresholds) (ref utils_eval.py:548-551)."""
+    _fpr, _tpr, threshs = roc_curve(
+        np.asarray(labels).astype(int).ravel(),
+        np.asarray(predictions, dtype=np.float64).ravel(),
+        pos_label=1,
+    )
+    return auc(_fpr, _tpr), _fpr, _tpr, threshs
+
+
+def compute_prc(predictions: np.ndarray, labels: np.ndarray):
+    """(AUPRC, precisions, recalls, thresholds) (ref utils_eval.py:554-557)."""
+    labels = np.asarray(labels).astype(int).ravel()
+    predictions = np.asarray(predictions, dtype=np.float64).ravel()
+    precisions, recalls, thresholds = precision_recall_curve(labels, predictions)
+    return average_precision_score(labels, predictions), precisions, recalls, thresholds
+
+
+def find_best_val(
+    x: np.ndarray,
+    y: np.ndarray,
+    val_range=(0.0, 1.0),
+    max_steps: int = 10,
+    step: int = 0,
+    max_val: float = 0.0,
+    max_point: float = 0.0,
+):
+    """Greedy quartile search for the Dice-maximizing threshold
+    (Zimmerer algorithm, ref utils_eval.py:508-539): at each step evaluate
+    Dice at the 25%/75% quantiles of the current range, recurse into the
+    better half, tracking the best (dice, threshold) seen. Returns
+    (best_dice, best_threshold)."""
+    x = np.asarray(x).ravel()
+    y = np.asarray(y).astype(bool).ravel()
+    lo, hi = float(val_range[0]), float(val_range[1])
+    if lo == hi:
+        hi = 1.0
+    for _ in range(step, max_steps):
+        center = lo + (hi - lo) * 0.5
+        q_bottom = lo + (hi - lo) * 0.25
+        q_top = lo + (hi - lo) * 0.75
+        val_bottom = dice(x > q_bottom, y)
+        val_top = dice(x > q_top, y)
+        if np.isnan(val_bottom):
+            val_bottom = 0.0
+        if np.isnan(val_top):
+            val_top = 0.0
+        if val_bottom >= val_top:
+            if val_bottom >= max_val:
+                max_val, max_point = val_bottom, q_bottom
+            hi = center
+        else:
+            if val_top >= max_val:
+                max_val, max_point = val_top, q_top
+            lo = center
+    return max_val, max_point
+
+
+def confusion_counts(pred: np.ndarray, target: np.ndarray):
+    """(TP, FP, TN, FN) with the reference's argument order quirk preserved:
+    the reference calls sklearn's confusion_matrix(pred, target) (ref :108),
+    i.e. rows are predictions — .ravel() of that matrix gives
+    (TN of pred-as-truth, ...). We compute the *standard* counts
+    (target as truth) — the numerically correct semantics the downstream
+    TPR/Precision formulas assume."""
+    pred = np.asarray(pred).astype(bool).ravel()
+    target = np.asarray(target).astype(bool).ravel()
+    tp = int(np.sum(pred & target))
+    fp = int(np.sum(pred & ~target))
+    tn = int(np.sum(~pred & ~target))
+    fn = int(np.sum(~pred & target))
+    return tp, fp, tn, fn
+
+
+def precision_recall_specificity_accuracy(pred: np.ndarray, target: np.ndarray):
+    """Per-volume precision/recall (positive class), specificity, accuracy
+    (ref utils_eval.py:125-129)."""
+    pred = np.asarray(pred).astype(bool).ravel()
+    target = np.asarray(target).astype(bool).ravel()
+    prf = precision_recall_fscore_support(
+        target, pred, labels=[0, 1], warn_for=tuple(), zero_division=0
+    )
+    tp, fp, tn, fn = confusion_counts(pred, target)
+    specificity = tn / (tn + fp + 1e-7)
+    accuracy = accuracy_score(target, pred)
+    return float(prf[0][1]), float(prf[1][1]), float(specificity), float(accuracy)
+
+
+def filter_3d_connected_components(
+    volume: np.ndarray, min_size: int = 8
+) -> np.ndarray:
+    """Zero out connected components smaller than `min_size` voxels
+    (ref utils_eval.py:489-503: skimage.label(connectivity=3) = full
+    26-connectivity; components with filled_area <= 7 dropped)."""
+    volume = np.asarray(volume).astype(bool)
+    sz = None
+    if volume.ndim > 3:
+        sz = volume.shape
+        volume = volume.reshape(sz[0] * sz[1], sz[2], sz[3])
+    structure = np.ones((3,) * volume.ndim, dtype=bool)
+    labeled, n = ndi.label(volume, structure=structure)
+    if n:
+        counts = np.bincount(labeled.ravel())
+        small = counts < min_size
+        small[0] = False
+        volume = volume & ~small[labeled]
+    if sz is not None:
+        volume = volume.reshape(sz)
+    return volume
+
+
+def _surface(mask: np.ndarray) -> np.ndarray:
+    """Surface voxels = mask minus its erosion (monai's surface extraction)."""
+    if not mask.any():
+        return mask
+    eroded = ndi.binary_erosion(mask, structure=ndi.generate_binary_structure(mask.ndim, 1))
+    return mask & ~eroded
+
+
+def hausdorff_distance(pred: np.ndarray, target: np.ndarray) -> float:
+    """Symmetric euclidean surface Hausdorff distance
+    (parity with monai.metrics.compute_hausdorff_distance(directed=False,
+    percentile=None), ref utils_eval.py:132-135): max over both directed
+    max-of-min surface distances. Returns nan when either mask is empty
+    (monai convention; the reference filters non-finite values, :255)."""
+    pred = np.asarray(pred).astype(bool)
+    target = np.asarray(target).astype(bool)
+    if not pred.any() or not target.any():
+        return float("nan")
+    ps = _surface(pred)
+    ts = _surface(target)
+    dt_t = ndi.distance_transform_edt(~ts)
+    dt_p = ndi.distance_transform_edt(~ps)
+    d_pt = dt_t[ps].max() if ps.any() else 0.0
+    d_tp = dt_p[ts].max() if ts.any() else 0.0
+    return float(max(d_pt, d_tp))

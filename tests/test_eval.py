@@ -1,0 +1,188 @@
+"""Eval stack tests: post-processing parity vs scipy, metrics parity vs
+sklearn/scipy references, and the end-to-end EvalSession protocol
+(reference behaviors: src/utils/utils_eval.py; SURVEY.md §2.6)."""
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from conditioned_diffusion_models_uad_tpu.eval import (
+    EvalConfig,
+    EvalSession,
+    apply_brainmask_volume,
+    compute_prc,
+    compute_roc,
+    dice,
+    filter_3d_connected_components,
+    find_best_val,
+    get_eval_dictionary,
+    hausdorff_distance,
+    median_filter_3d,
+    postprocess_residual,
+    slice_anomaly_scores,
+)
+
+
+def test_median_filter_matches_scipy():
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(12, 13, 9)).astype(np.float32)
+    ours = np.asarray(median_filter_3d(vol, 5))
+    ref = ndi.median_filter(vol, size=5, mode="reflect")
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_median_filter_k3_matches_scipy():
+    rng = np.random.default_rng(1)
+    vol = rng.normal(size=(8, 8, 8)).astype(np.float32)
+    ours = np.asarray(median_filter_3d(vol, 3))
+    ref = ndi.median_filter(vol, size=3, mode="reflect")
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_brainmask_erosion_matches_scipy():
+    rng = np.random.default_rng(2)
+    mask = (rng.uniform(size=(24, 24, 5)) > 0.3).astype(np.float32)
+    diff = rng.uniform(size=(24, 24, 5)).astype(np.float32)
+    iters = 2
+    ours = np.asarray(apply_brainmask_volume(diff, mask, iters))
+    strel = ndi.generate_binary_structure(2, 1)
+    ref = np.empty_like(diff)
+    for s in range(diff.shape[2]):
+        er = ndi.binary_erosion(mask[:, :, s] > 0, structure=strel, iterations=iters)
+        ref[:, :, s] = diff[:, :, s] * er
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_postprocess_chain_zeroes_outside_brain():
+    rng = np.random.default_rng(3)
+    orig = rng.uniform(size=(50, 50, 8)).astype(np.float32)
+    reco = rng.uniform(size=(50, 50, 8)).astype(np.float32)
+    mask = np.zeros((50, 50, 8), np.float32)
+    mask[10:40, 10:40, :] = 1
+    diff = np.asarray(
+        postprocess_residual(orig, reco, mask, erode_iterations=2, median_kernel=5)
+    )
+    assert diff.shape == orig.shape
+    assert np.all(diff[:5, :5] == 0)  # outside the brain mask
+    assert diff[25, 25].max() >= 0
+
+
+def test_dice_and_threshold_search():
+    # synthetic score map where the optimal threshold is known
+    seg = np.zeros((32, 32, 4), bool)
+    seg[8:16, 8:16] = True
+    scores = np.where(seg, 0.8, 0.1) + np.random.default_rng(4).normal(
+        0, 0.01, seg.shape
+    )
+    best_dice, best_th = find_best_val(
+        scores.ravel(), seg.ravel(), val_range=(0, scores.max()), max_steps=10
+    )
+    assert best_dice > 0.95
+    assert 0.15 < best_th < 0.8
+    assert dice(scores > best_th, seg) == pytest.approx(best_dice)
+
+
+def test_dice_formula():
+    p = np.array([1, 1, 0, 0], bool)
+    g = np.array([1, 0, 1, 0], bool)
+    assert dice(p, g) == pytest.approx(2 * 1 / (2 + 2))
+
+
+def test_roc_prc_against_sklearn():
+    from sklearn.metrics import average_precision_score, roc_auc_score
+
+    rng = np.random.default_rng(5)
+    y = rng.uniform(size=500) > 0.7
+    x = y * 0.5 + rng.uniform(size=500)
+    auc_v, _, _, _ = compute_roc(x, y)
+    prc_v, _, _, _ = compute_prc(x, y)
+    assert auc_v == pytest.approx(roc_auc_score(y, x))
+    assert prc_v == pytest.approx(average_precision_score(y, x))
+
+
+def test_connected_component_filter():
+    vol = np.zeros((16, 16, 16), bool)
+    vol[1:3, 1:3, 1:2] = True  # 4 voxels -> dropped (<= 7)
+    vol[8:12, 8:12, 8:10] = True  # 32 voxels -> kept
+    out = filter_3d_connected_components(vol.copy(), min_size=8)
+    assert not out[1:3, 1:3, 1:2].any()
+    assert out[8:12, 8:12, 8:10].all()
+
+
+def test_connected_component_full_connectivity():
+    # two diagonal voxels are ONE component under 26-connectivity
+    vol = np.zeros((4, 4, 4), bool)
+    vol[0, 0, 0] = vol[1, 1, 1] = True
+    labeled, n = ndi.label(vol, structure=np.ones((3, 3, 3), bool))
+    assert n == 1
+    out = filter_3d_connected_components(vol.copy(), min_size=2)
+    assert out.sum() == 2  # size-2 component survives min_size=2
+
+
+def test_hausdorff_identity_and_shift():
+    a = np.zeros((20, 20, 20), bool)
+    a[5:10, 5:10, 5:10] = True
+    assert hausdorff_distance(a, a) == 0.0
+    b = np.roll(a, 3, axis=0)
+    d = hausdorff_distance(a, b)
+    assert d == pytest.approx(3.0, abs=0.01)
+    assert np.isnan(hausdorff_distance(a, np.zeros_like(a)))
+
+
+def test_slice_anomaly_scores_masked_mean():
+    diff = np.ones((8, 8, 3), np.float32) * np.array([1.0, 2.0, 3.0])
+    mask = np.ones((8, 8, 3), np.float32)
+    mask[..., 2] = 0  # empty slice -> score 0
+    s = np.asarray(slice_anomaly_scores(diff, mask))
+    np.testing.assert_allclose(s, [1.0, 2.0, 0.0], atol=1e-6)
+
+
+def _run_session(stage, threshold=None, name="Brats21"):
+    rng = np.random.default_rng(7)
+    cfg = EvalConfig(erode_brainmask=True, median_filtering=True)
+    sess = EvalSession(cfg, name, stage, threshold=threshold)
+    for i in range(2):
+        orig = rng.uniform(0.2, 1.0, size=(48, 48, 8)).astype(np.float32)
+        seg = np.zeros_like(orig)
+        seg[20:30, 20:30, 2:6] = 1
+        reco = orig.copy()
+        reco[20:30, 20:30, 2:6] -= 0.5  # big residual inside the lesion
+        mask = np.ones_like(orig)
+        sess.test_step(reco, orig, seg, mask, batch_idx=i, ID=f"v{i}", label_vol=1)
+    return sess, sess.test_end()
+
+
+def test_eval_session_val_then_test_protocol():
+    # val pass fits the threshold...
+    sess_val, d_val = _run_session("val")
+    assert "total" in sess_val.threshold
+    assert d_val["DicePerVolMean"] > 0.3
+    # the 5^3 median on a depth-8 fixture dilutes lesion borders; 0.7 is the
+    # discriminative floor for this synthetic case
+    assert d_val["AUCPerVolMean"] > 0.7
+    assert len(d_val["AnomalyScoreRecoPerVol"]) == 2
+    assert len(d_val["labelPerSlice"]) == 16
+    # ...the test pass consumes it (ref utils_eval.py:92-93)
+    sess_t, d_t = _run_session("test", threshold=sess_val.threshold)
+    assert d_t["DicePerVolMean"] > 0.3
+    assert all(
+        t == sess_val.threshold["total"] for t in d_t["BestThresholdPerVol"]
+    )
+
+
+def test_eval_session_healthy_set_quantile_thresholds():
+    sess, d = _run_session("val", name="IXI")
+    # healthy sets skip seg metrics, fit FPR-quantile thresholds (ref :289-297)
+    assert len(d["DiceScorePerVol"]) == 0
+    assert sess.threshholds_healthy["thresh_1p"] >= sess.threshholds_healthy["thresh_5p"]
+    assert d["t_1p"] >= d["t_5p"] >= d["t_10p"]
+
+
+def test_eval_dictionary_schema():
+    d = get_eval_dictionary()
+    # spot-check the reference's schema keys (utils_eval.py:324-445)
+    for k in (
+        "AUCPerVol", "AUPRCPerVol", "DiceScorePerVol", "BestThresholdPerVol",
+        "AnomalyScoreRecoPerVol", "labelPerSlice", "HausPerVol",
+        "KLD_to_learned_prior", "AUCAnomalyRecoPerSlice",
+    ):
+        assert k in d and d[k] == []
