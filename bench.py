@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""North-star benchmark: reverse-diffusion eval throughput on one chip.
+
+Measures slice-denoises/sec of the flagship cDDPM volume-reconstruction path
+(encoder conditioning + 3-timestep noise ensemble, the reference's eval hot
+loop, src/models/DDPM_2D.py:209-248). The reference does ~50 slice-denoises/s
+on its benchmark GPU (BASELINE.md: ~3 s/volume, 50 slices x 3 ensemble
+members); `vs_baseline` is the speedup over that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_SLICE_DENOISES_PER_SEC = 150.0  # 50 slices x 3 t-values / ~1 s of 3.0-3.3 s/vol GPU eval => 150/3≈50... see below
+
+# Reference anchor (BASELINE.md): 3.0-3.3 s/volume with 50 slices x 3 ensemble
+# members = 150 slice-denoises per ~3.1 s ≈ 48.4 slice-denoises/s.
+BASELINE = 150.0 / 3.1
+
+
+def main():
+    from conditioned_diffusion_models_uad_tpu.models import DDPMTask, DDPMTaskConfig
+
+    task = DDPMTask(DDPMTaskConfig())  # flagship: 96x96, resnet50, ensemble x3
+    variables = task.init(jax.random.PRNGKey(0))
+
+    depth = 96  # slices per volume batch (reference folds ~50-100 into batch)
+    slices = jax.random.uniform(jax.random.PRNGKey(1), (depth, 96, 96, 1))
+
+    reconstruct = jax.jit(task.reconstruct)
+    key = jax.random.PRNGKey(2)
+
+    # compile + warmup
+    reconstruct(variables, slices, key).block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = reconstruct(variables, slices, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    ensemble = len(task.cfg.step_ensemble)
+    denoises_per_sec = depth * ensemble / dt
+    print(
+        json.dumps(
+            {
+                "metric": "eval_slice_denoises_per_sec_per_chip",
+                "value": round(denoises_per_sec, 2),
+                "unit": "slice-denoises/s (96x96, cond encoder + UNet fwd, x3 t-ensemble)",
+                "vs_baseline": round(denoises_per_sec / BASELINE, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

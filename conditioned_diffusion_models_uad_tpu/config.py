@@ -1,0 +1,217 @@
+"""Typed config tree + YAML composition + CLI overrides.
+
+Capability parity with the reference's Hydra/OmegaConf config system
+(reference: run.py:20-56, configs/config.yaml:12-39,
+configs/experiment/cDDPM/*.yaml) while replacing ~60 scattered
+``cfg.get(...)`` call-site defaults with typed dataclasses (SURVEY.md §5):
+
+* composition root `configs/config.yaml` with experiment overlays selected by
+  ``experiment=cDDPM/<name>`` — same CLI shape as the reference
+* dotted-key overrides ``a.b.c=value`` with YAML-typed values
+* ``${env:VAR}`` / ``${env:VAR,default}`` interpolation (the reference's
+  ``${oc.env:DATA_DIR}``, configs/config.yaml:37-39, fed by pc_environment.env)
+* a `.env` file loader standing in for dotenv (run.py:16)
+
+The composed dict is materialized into the typed configs consumed by each
+subsystem: DDPMTaskConfig / SparkTaskConfig (models), DataConfig (data),
+TrainerConfig (train), EvalConfig (eval).
+"""
+from __future__ import annotations
+
+import copy
+import dataclasses
+import os
+import re
+from typing import Any, List, Optional, Sequence, Tuple
+
+import yaml
+
+from .data.datamodules import DataConfig
+from .eval.harness import EvalConfig
+from .models.tasks import DDPMTaskConfig, SparkTaskConfig
+from .train.loop import TrainerConfig
+
+_ENV_RE = re.compile(r"\$\{env:([A-Za-z_][A-Za-z0-9_]*)(?:,([^}]*))?\}")
+
+
+def load_env_file(path: str = "environment.env") -> None:
+    """KEY=VALUE lines -> os.environ (reference dotenv load, run.py:16)."""
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            k, v = line.split("=", 1)
+            os.environ.setdefault(k.strip(), v.strip().strip("'\""))
+
+
+def _interp(value: Any) -> Any:
+    if isinstance(value, str):
+        def sub(m):
+            var, default = m.group(1), m.group(2)
+            if var in os.environ:
+                return os.environ[var]
+            if default is not None:
+                return default
+            raise KeyError(f"environment variable {var} is not set "
+                           f"(required by config interpolation)")
+        return _ENV_RE.sub(sub, value)
+    return value
+
+
+def _deep_merge(base: dict, overlay: dict) -> dict:
+    out = dict(base)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _set_dotted(tree: dict, dotted: str, value: Any) -> None:
+    keys = dotted.split(".")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+        if not isinstance(node, dict):
+            raise TypeError(f"cannot override through non-dict at {k} in {dotted}")
+    node[keys[-1]] = value
+
+
+def _walk_interp(node: Any) -> Any:
+    if isinstance(node, dict):
+        return {k: _walk_interp(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_walk_interp(v) for v in node]
+    return _interp(node)
+
+
+_SCI_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _parse_value(v: str) -> Any:
+    if v == "":
+        return None
+    # YAML 1.1 treats '1e-4' as a string (no dot before the exponent); coerce
+    if _SCI_RE.match(v):
+        return float(v)
+    return yaml.safe_load(v)
+
+
+def parse_overrides(args: Sequence[str]) -> dict:
+    """['a.b=1', 'c=[1,2]'] -> nested dict with YAML-typed leaf values."""
+    tree: dict = {}
+    for a in args:
+        if "=" not in a:
+            raise ValueError(f"override '{a}' is not of the form key=value")
+        k, v = a.split("=", 1)
+        _set_dotted(tree, k, _parse_value(v))
+    return tree
+
+
+def compose(
+    config_dir: str,
+    experiment: Optional[str] = None,
+    overrides: Sequence[str] = (),
+) -> dict:
+    """Hydra-like composition: config.yaml <- experiment overlay <- overrides."""
+    with open(os.path.join(config_dir, "config.yaml")) as f:
+        cfg = yaml.safe_load(f) or {}
+    if experiment:
+        exp_path = os.path.join(config_dir, "experiment", experiment)
+        if not exp_path.endswith(".yaml"):
+            exp_path += ".yaml"
+        with open(exp_path) as f:
+            cfg = _deep_merge(cfg, yaml.safe_load(f) or {})
+        cfg["experiment"] = experiment
+    cfg = _deep_merge(cfg, parse_overrides(list(overrides)))
+    return _walk_interp(cfg)
+
+
+# --------------------------------------------------------------------------- #
+# materialization into typed configs
+# --------------------------------------------------------------------------- #
+def _filter_fields(cls, d: dict) -> dict:
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - names
+    if unknown:
+        raise KeyError(f"unknown {cls.__name__} keys: {sorted(unknown)}")
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, list):
+            v = tuple(v)
+        out[k] = v
+    return out
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """The composed run (reference configs/config.yaml top-level keys)."""
+
+    name: str = "run"
+    experiment: Optional[str] = None
+    seed: int = 42
+    debug: bool = False
+    only_eval: bool = False
+    resume_train: bool = False
+    load_checkpoint: Optional[str] = None
+    checkpoint: str = "best"  # 'best' | 'last' (ref configs/config.yaml:58)
+    num_folds: int = 1
+    start_fold: int = 0
+    log_dir: str = "./logs"
+    n_devices: Optional[int] = None
+    task: str = "DDPM_2D"  # 'DDPM_2D' | 'Spark_2D'
+    pretrained_encoder: Optional[str] = None  # SparK ckpt dir for encoder import
+    model: Any = None  # DDPMTaskConfig | SparkTaskConfig
+    datamodule_name: str = "IXI"
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+
+    @property
+    def run_dir(self) -> str:
+        return os.path.join(self.log_dir, self.name)
+
+
+def materialize(tree: dict) -> RunConfig:
+    """Composed dict -> RunConfig with typed sub-configs."""
+    tree = copy.deepcopy(tree)
+    task_name = tree.get("task", "DDPM_2D")
+    model_d = tree.pop("model", {}) or {}
+    data_d = tree.pop("datamodule", {}) or {}
+    trainer_d = tree.pop("trainer", {}) or {}
+    eval_d = tree.pop("eval", {}) or {}
+
+    dm_name = data_d.pop("name", "IXI")
+    if task_name == "Spark_2D":
+        model = SparkTaskConfig(**_filter_fields(SparkTaskConfig, model_d))
+    else:
+        model = DDPMTaskConfig(**_filter_fields(DDPMTaskConfig, model_d))
+
+    known = {f.name for f in dataclasses.fields(RunConfig)}
+    top = {k: v for k, v in tree.items() if k in known and k not in
+           ("model", "data", "trainer", "eval")}
+    rc = RunConfig(
+        **top,
+        model=model,
+        data=DataConfig(**_filter_fields(DataConfig, data_d)),
+        trainer=TrainerConfig(**_filter_fields(TrainerConfig, trainer_d)),
+        eval=EvalConfig(**_filter_fields(EvalConfig, eval_d)),
+    )
+    rc.datamodule_name = dm_name
+
+    # debug coercion (reference utils.extras, src/utils/utils.py:27-64)
+    if rc.debug:
+        rc.trainer.fast_dev_run = True
+        rc.data.sample_set = True
+    return rc
+
+
+def save_config(tree: dict, path: str) -> None:
+    """Persist the composed config (reference final_config.yaml, train.py:37-38)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(tree, f, sort_keys=False)

@@ -72,12 +72,29 @@ class DataConfig:
         )
 
 
+def _host_jax():
+    """Context pinning jitted preprocessing to the host CPU backend.
+
+    The per-subject load-time transforms are one-time IO-side work; on a TPU
+    host they must not occupy (or round-trip to) the accelerator — the hot
+    train/eval path owns it. Falls back to the default device when no separate
+    CPU backend exists (e.g. the CPU-only test mesh)."""
+    import contextlib
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
 def _read_image(path: str, cfg: DataConfig, is_label: bool) -> np.ndarray:
     vol, _ = read_nifti(path)
     if vol.ndim == 4:
         vol = vol[..., 0]
     if not is_label and cfg.use_curvature_flow:
-        vol = np.asarray(curvature_flow(jnp.asarray(vol)))
+        with _host_jax():
+            vol = np.asarray(curvature_flow(jnp.asarray(vol)))
     return vol.astype(np.float32)
 
 
@@ -102,35 +119,39 @@ def load_subject(
     if seg is not None:
         seg = crop_or_pad(seg, target)
 
-    vol = np.asarray(
-        percentile_rescale(
-            jnp.asarray(vol), jnp.asarray(mask), 0.0, 1.0, cfg.perc_low, cfg.perc_high
-        )
-    )
-
     out = {}
-    if keep_orig:
-        if cfg.resized_evaluation:
-            out["vol_orig"] = np.asarray(
-                bspline_downsample(jnp.asarray(vol), cfg.rescale_factor)
+    with _host_jax():
+        vol = np.asarray(
+            percentile_rescale(
+                jnp.asarray(vol), jnp.asarray(mask), 0.0, 1.0,
+                cfg.perc_low, cfg.perc_high,
             )
-            out["mask_orig"] = np.asarray(
-                nearest_downsample(jnp.asarray(mask), cfg.rescale_factor)
-            )
-            out["seg_orig"] = (
-                np.asarray(nearest_downsample(jnp.asarray(seg), cfg.rescale_factor))
-                if seg is not None
-                else np.zeros_like(out["mask_orig"])
-            )
-        else:
-            out["vol_orig"] = vol.copy()
-            out["mask_orig"] = mask.copy()
-            out["seg_orig"] = seg.copy() if seg is not None else np.zeros_like(mask)
+        )
 
-    out["vol"] = np.asarray(bspline_downsample(jnp.asarray(vol), cfg.rescale_factor))
-    out["mask"] = np.asarray(nearest_downsample(jnp.asarray(mask), cfg.rescale_factor))
-    if seg is not None:
-        out["seg"] = np.asarray(nearest_downsample(jnp.asarray(seg), cfg.rescale_factor))
+        if keep_orig:
+            if cfg.resized_evaluation:
+                out["vol_orig"] = np.asarray(
+                    bspline_downsample(jnp.asarray(vol), cfg.rescale_factor)
+                )
+                out["mask_orig"] = np.asarray(
+                    nearest_downsample(jnp.asarray(mask), cfg.rescale_factor)
+                )
+                out["seg_orig"] = (
+                    np.asarray(nearest_downsample(jnp.asarray(seg), cfg.rescale_factor))
+                    if seg is not None
+                    else np.zeros_like(out["mask_orig"])
+                )
+            else:
+                out["vol_orig"] = vol.copy()
+                out["mask_orig"] = mask.copy()
+                out["seg_orig"] = seg.copy() if seg is not None else np.zeros_like(mask)
+
+        out["vol"] = np.asarray(bspline_downsample(jnp.asarray(vol), cfg.rescale_factor))
+        out["mask"] = np.asarray(nearest_downsample(jnp.asarray(mask), cfg.rescale_factor))
+        if seg is not None:
+            out["seg"] = np.asarray(
+                nearest_downsample(jnp.asarray(seg), cfg.rescale_factor)
+            )
     out["seg_available"] = seg_available
     out["ID"] = str(row.get("img_name", ""))
     out["age"] = row.get("age", 0)

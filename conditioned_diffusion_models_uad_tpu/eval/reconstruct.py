@@ -1,0 +1,72 @@
+"""Slice-parallel volume reconstruction: the north-star eval compute path.
+
+The reference evaluates one volume at a time by folding depth into the batch
+axis and running the diffusion denoise on all slices at once
+(reference src/models/DDPM_2D.py:193-257). Here that depth-as-batch axis is
+*sharded across the TPU mesh* — each core denoises a contiguous stack of
+slices with replicated weights; the t-ensemble is an extra vmapped axis so the
+whole volume × ensemble reconstruction is one compiled program.
+
+Depth is padded to a fixed bucket (edge-replicated slices) so volumes of
+different depth reuse one compiled executable (SURVEY.md §7 'dynamic shapes').
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..parallel.mesh import batch_sharding, pad_to_multiple, replicated_sharding
+
+
+class VolumeReconstructor:
+    """Compiles task.reconstruct over a mesh-sharded slice axis.
+
+    __call__(variables, vol_hwd, key) -> reco_hwd with vol [H, W, D] in [0,1].
+    `num_eval_slices` optionally center-crops the depth axis before
+    reconstruction (reference DDPM_2D.py:193-203)."""
+
+    def __init__(
+        self,
+        task,
+        mesh: Optional[Mesh] = None,
+        depth_bucket: int = 8,
+        num_eval_slices: Optional[int] = None,
+        patched: bool = False,
+    ):
+        self.task = task
+        self.mesh = mesh
+        self.num_eval_slices = num_eval_slices
+        base = mesh.devices.size if mesh is not None else 1
+        self.depth_multiple = max(depth_bucket, base) // base * base
+        fn = task.reconstruct_patched if patched else task.reconstruct
+
+        if mesh is not None:
+            self._reconstruct = jax.jit(
+                fn,
+                in_shardings=(
+                    replicated_sharding(mesh),
+                    batch_sharding(mesh),
+                    replicated_sharding(mesh),
+                ),
+                out_shardings=batch_sharding(mesh),
+            )
+        else:
+            self._reconstruct = jax.jit(fn)
+
+    def __call__(self, variables, vol_hwd: np.ndarray, key) -> np.ndarray:
+        vol = np.asarray(vol_hwd, dtype=np.float32)
+        if self.num_eval_slices is not None and self.num_eval_slices < vol.shape[-1]:
+            start = (vol.shape[-1] - self.num_eval_slices) // 2
+            vol = vol[..., start : start + self.num_eval_slices]
+        d = vol.shape[-1]
+
+        slices = np.moveaxis(vol, -1, 0)[..., None]  # [D, H, W, 1]
+        slices, _ = pad_to_multiple(slices, self.depth_multiple, axis=0)
+
+        reco = self._reconstruct(variables, jnp.asarray(slices), key)
+        reco = np.asarray(jax.device_get(reco))[:d, ..., 0]
+        return np.moveaxis(reco, 0, -1)  # [H, W, D]

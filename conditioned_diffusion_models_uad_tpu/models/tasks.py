@@ -1,0 +1,455 @@
+"""Task modules (L4): cDDPM, patched DDPM (pDDPM), and SparK masked pretraining.
+
+Capability parity with the reference Lightning task modules
+(reference: src/models/DDPM_2D.py, src/models/DDPM_2D_patched.py,
+src/models/Spark_2D.py) rebuilt as *functional* task objects: each task owns its
+flax modules + static config and exposes pure functions
+
+    init(key)                        -> variables (params [+ batch_stats])
+    loss(variables, batch, key)      -> (scalar loss, (mutated_state, aux))
+    reconstruct(variables, slices01, key) -> single-shot volume reconstruction
+
+that the trainer jits/pjits. No framework callbacks, no mutable module state —
+the PRNG key and batch-stat collections are threaded explicitly.
+
+TPU-first notes:
+  * the t-ensemble at eval (reference DDPM_2D.py:225-239 loops t ∈ {250,500,750}
+    sequentially) is batched as an extra *leading axis* via `jax.vmap`, so the
+    three denoise passes become one big UNet batch on the MXU.
+  * simplex noise is generated on device inside the jitted step (the reference
+    generates it per step on the host CPU with numba, SURVEY.md §3.1).
+  * the patched variant's box semantics run as broadcastable masks; the eval
+    grid is a static array of boxes scanned in one compiled pass.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import (
+    GaussianDiffusionConfig,
+    box_to_mask,
+    diffusion_call,
+    ddim_sample,
+    make_schedule,
+    normalize_to_neg_one_to_one,
+    p_sample_loop,
+)
+from ..ops.patch_sampling import grid_boxes, grid_boxes_cut, paste_patches, sample_single_box
+from ..ops.simplex import make_noise_fn
+from .resnet import ResNetConfig, ResNetEncoder
+from .spark import SparKConfig, SparKModel, random_mask, spark_spatial_loss
+from .unet import UNetConfig, UNetModel
+
+Variables = Any  # flax variable dict {'params': ..., 'batch_stats': ...}
+
+
+# --------------------------------------------------------------------------- #
+# cDDPM task
+# --------------------------------------------------------------------------- #
+@dataclasses.dataclass(frozen=True)
+class DDPMTaskConfig:
+    """The cDDPM experiment knobs (reference src/models/DDPM_2D.py:17-96 +
+    configs/experiment/cDDPM/DDPM_cond_spark_2D.yaml)."""
+
+    image_hw: Tuple[int, int] = (96, 96)
+    # conditioning
+    condition: bool = True
+    cond_dim: int = 128
+    encoder_backbone: str = "resnet50"
+    # diffusion
+    timesteps: int = 1000
+    beta_schedule: str = "cosine"
+    objective: str = "pred_x0"
+    loss_type: str = "l1"
+    p2_gamma: float = 0.0
+    p2_k: float = 1.0
+    noisetype: Optional[str] = "simplex"
+    simplex_octaves: int = 6
+    simplex_persistence: float = 0.8
+    simplex_frequency: float = 64.0
+    # eval
+    test_timesteps: int = 500
+    noise_ensemble: bool = True
+    step_ensemble: Sequence[int] = (250, 500, 750)
+    num_eval_slices: Optional[int] = None
+    # patched (pDDPM) variant — off for the cDDPM
+    patched: bool = False
+    patch_hw: Tuple[int, int] = (48, 48)
+    grid_boxes_eval: str = "equalized"  # 'equalized' | 'cut'
+    patch_aggregation: str = "avg"  # 'avg' | 'cut'
+    inpaint: bool = False
+    # model
+    unet_dim: int = 128
+    num_res_blocks: int = 3
+    channel_mult: Sequence[int] = (1, 2, 2)
+    attention_resolutions: Sequence[int] = (3, 6, 12)
+    dtype: str = "bfloat16"
+    # optimizer (reference Adam(lr), DDPM_2D.py:305-306)
+    lr: float = 1e-4
+
+    @property
+    def unet_config(self) -> UNetConfig:
+        return UNetConfig(
+            in_channels=1,
+            model_channels=self.unet_dim,
+            out_channels=1,
+            num_res_blocks=self.num_res_blocks,
+            attention_resolutions=tuple(self.attention_resolutions),
+            channel_mult=tuple(self.channel_mult),
+            cond_dim=self.cond_dim if self.condition else None,
+            dtype=self.dtype,
+        )
+
+    @property
+    def diffusion_config(self) -> GaussianDiffusionConfig:
+        return GaussianDiffusionConfig(
+            objective=self.objective,
+            loss_type=self.loss_type,
+            inpaint=self.inpaint,
+        )
+
+
+class DDPMTask:
+    """The conditioned-DDPM anomaly-detection task."""
+
+    def __init__(self, cfg: DDPMTaskConfig):
+        self.cfg = cfg
+        self.unet = UNetModel(cfg.unet_config)
+        self.encoder = (
+            ResNetEncoder(
+                ResNetConfig(variant=cfg.encoder_backbone, dtype=cfg.dtype),
+                cond_dim=cfg.cond_dim,
+            )
+            if cfg.condition
+            else None
+        )
+        self.sched = make_schedule(
+            cfg.timesteps, cfg.beta_schedule, cfg.p2_gamma, cfg.p2_k
+        )
+        self.gd_cfg = cfg.diffusion_config
+        self.noise_fn = make_noise_fn(
+            cfg.noisetype,
+            cfg.simplex_octaves,
+            cfg.simplex_persistence,
+            cfg.simplex_frequency,
+            layout="nhwc",
+        )
+
+    # -- initialization ---------------------------------------------------- #
+    def init(self, key: jax.Array, batch_size: int = 2) -> Variables:
+        h, w = self.cfg.image_hw
+        ku, ke = jax.random.split(key)
+        x = jnp.zeros((batch_size, h, w, 1), jnp.float32)
+        t = jnp.zeros((batch_size,), jnp.int32)
+        variables = {"params": {}, "batch_stats": {}}
+        if self.encoder is not None:
+            ev = self.encoder.init(ke, x)
+            variables["params"]["encoder"] = ev["params"]
+            variables["batch_stats"]["encoder"] = ev.get("batch_stats", {})
+            cond = jnp.zeros((batch_size, self.cfg.cond_dim), jnp.float32)
+        else:
+            cond = None
+        uv = self.unet.init(ku, x, t, cond)
+        variables["params"]["unet"] = uv["params"]
+        return variables
+
+    # -- pieces ------------------------------------------------------------ #
+    def encode(self, variables: Variables, x01, *, train: bool = False):
+        """Clean slice -> conditioning vector c (reference DDPM_2D.forward,
+        DDPM_2D.py:102-111). Returns (cond, new_encoder_batch_stats)."""
+        if self.encoder is None:
+            return None, variables.get("batch_stats", {}).get("encoder", {})
+        ev = {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        }
+        if train:
+            cond, mut = self.encoder.apply(
+                ev, x01, train=True, mutable=["batch_stats"]
+            )
+            return cond, mut["batch_stats"]
+        cond = self.encoder.apply(ev, x01, train=False)
+        return cond, variables["batch_stats"]["encoder"]
+
+    def _model_fn(self, variables: Variables):
+        def fn(x, t, cond):
+            return self.unet.apply({"params": variables["params"]["unet"]}, x, t, cond)
+
+        return fn
+
+    # -- training ---------------------------------------------------------- #
+    def loss(
+        self,
+        variables: Variables,
+        batch: dict,  # {'vol': [B,H,W,1] in [0,1], 'mask': [B,H,W,1]}
+        key: jax.Array,
+        *,
+        train: bool = True,
+    ):
+        """One training/validation objective evaluation
+        (reference training_step, DDPM_2D.py:114-135). Returns
+        (loss, (new_batch_stats, aux)) with aux = {'reco': [B,H,W,1]}."""
+        cfg = self.cfg
+        x01 = batch["vol"].astype(jnp.float32)
+        k_enc, k_noise, k_diff, k_box = jax.random.split(key, 4)
+
+        cond, enc_stats = self.encode(variables, x01, train=train)
+
+        noise = self.noise_fn(k_noise, x01.shape)
+
+        box_mask = None
+        if cfg.patched:
+            boxes = sample_single_box(
+                k_box, x01.shape[0], cfg.image_hw, cfg.patch_hw
+            )
+            box_mask = box_to_mask(boxes, *cfg.image_hw)
+
+        loss, reco = diffusion_call(
+            self.sched,
+            self.gd_cfg,
+            self._model_fn(variables),
+            x01,
+            key=k_diff,
+            cond=cond,
+            noise=noise,
+            box_mask=box_mask,
+        )
+        new_stats = dict(variables.get("batch_stats", {}))
+        if self.encoder is not None:
+            new_stats["encoder"] = enc_stats
+        return loss, (new_stats, {"reco": reco})
+
+    # -- evaluation -------------------------------------------------------- #
+    def reconstruct(
+        self,
+        variables: Variables,
+        slices01: jax.Array,  # [D, H, W, 1] volume with depth folded into batch
+        key: jax.Array,
+    ) -> jax.Array:
+        """Single-shot reconstruction of a slice stack at fixed t, with the
+        optional noise-ensemble averaged over t ∈ step_ensemble
+        (reference test_step, DDPM_2D.py:209-248). Returns [D, H, W, 1] in [0,1].
+
+        The ensemble axis is vmapped — all |ensemble| denoise passes run as one
+        batched UNet call instead of a Python loop."""
+        cfg = self.cfg
+        cond, _ = self.encode(variables, slices01, train=False)
+        model_fn = self._model_fn(variables)
+
+        if cfg.noise_ensemble and len(cfg.step_ensemble) > 0:
+            ts = jnp.asarray([t - 1 for t in cfg.step_ensemble], dtype=jnp.int32)
+            keys = jax.random.split(key, len(cfg.step_ensemble))
+
+            def one(t, k):
+                noise = self.noise_fn(k, slices01.shape)
+                _, reco = diffusion_call(
+                    self.sched, self.gd_cfg, model_fn, slices01,
+                    key=k, t=t, cond=cond, noise=noise,
+                )
+                return reco
+
+            recos = jax.vmap(one)(ts, keys)  # [E, D, H, W, 1]
+            return recos.mean(axis=0)
+
+        noise = self.noise_fn(key, slices01.shape)
+        _, reco = diffusion_call(
+            self.sched, self.gd_cfg, model_fn, slices01,
+            key=key, t=cfg.test_timesteps - 1, cond=cond, noise=noise,
+        )
+        return reco
+
+    def reconstruct_patched(
+        self,
+        variables: Variables,
+        slices01: jax.Array,  # [D, H, W, 1]
+        key: jax.Array,
+    ) -> jax.Array:
+        """pDDPM eval: denoise each grid patch with the rest of the image clean,
+        then paste the patch reconstructions together (reference
+        DDPM_2D_patched.py:173-216). The grid is static; the per-box passes run
+        under one `lax.scan` (weights are traced once)."""
+        cfg = self.cfg
+        if cfg.grid_boxes_eval == "cut":
+            boxes_np = grid_boxes_cut(cfg.image_hw, cfg.patch_hw)
+        else:
+            boxes_np = grid_boxes(cfg.image_hw, cfg.patch_hw, equalize_overlap=True)
+        boxes = jnp.asarray(boxes_np)
+        cond, _ = self.encode(variables, slices01, train=False)
+        model_fn = self._model_fn(variables)
+        h, w = cfg.image_hw
+
+        def one_box(k, box):
+            noise = self.noise_fn(k, slices01.shape)
+            box_mask = box_to_mask(box[None], h, w)  # [1,H,W,1] broadcasts over D
+            _, reco = diffusion_call(
+                self.sched, self.gd_cfg, model_fn, slices01,
+                key=k, t=cfg.test_timesteps - 1, cond=cond, noise=noise,
+                box_mask=box_mask,
+            )
+            return reco
+
+        keys = jax.random.split(key, boxes.shape[0])
+        recos = jax.lax.map(lambda kb: one_box(kb[0], kb[1]), (keys, boxes))
+        return paste_patches(recos, slices01, boxes, aggregate=cfg.patch_aggregation)
+
+    # -- iterative samplers (upstream capability, ref cond_DDPM.py:432-530) - #
+    def sample(
+        self,
+        variables: Variables,
+        shape: tuple,
+        key: jax.Array,
+        *,
+        cond: Optional[jax.Array] = None,
+        x_start01: Optional[jax.Array] = None,
+        start_t: int = 0,
+        use_ddim: bool = False,
+        sampling_timesteps: Optional[int] = None,
+    ) -> jax.Array:
+        """Full or truncated reverse sampling (ancestral / DDIM) with the
+        configured noise source per step."""
+        model_fn = self._model_fn(variables)
+        x_start = (
+            normalize_to_neg_one_to_one(x_start01) if x_start01 is not None else None
+        )
+        if use_ddim:
+            return ddim_sample(
+                self.sched, self.gd_cfg, model_fn, shape, key=key,
+                sampling_timesteps=sampling_timesteps or 50, cond=cond,
+                start_t=start_t, x_start=x_start, noise_fn=self.noise_fn,
+            )
+        return p_sample_loop(
+            self.sched, self.gd_cfg, model_fn, shape, key=key, cond=cond,
+            start_t=start_t, x_start=x_start, noise_fn=self.noise_fn,
+        )
+
+
+# --------------------------------------------------------------------------- #
+# SparK masked-image-modeling pretraining task
+# --------------------------------------------------------------------------- #
+@dataclasses.dataclass(frozen=True)
+class SparkTaskConfig:
+    """SparK pretraining knobs (reference src/models/Spark_2D.py:12-127 +
+    configs/experiment/cDDPM/Spark_2D_pretrain.yaml)."""
+
+    image_hw: Tuple[int, int] = (96, 96)
+    backbone: str = "resnet50"
+    mask_ratio: float = 0.65
+    dec_dim: int = 128
+    pix_norm: int = 0
+    loss_l2: bool = True
+    loss_on_mask: bool = True
+    mask_loss_weight: float = 1.0  # δ in full-L1 + δ·masked (ref Spark_2D.py:26-32)
+    use_pos_emb: bool = False
+    dtype: str = "bfloat16"
+    # optimizer (reference AdamW(lr, wd .05, betas .9/.95), Spark_2D.py:123-124)
+    lr: float = 2e-4
+    weight_decay: float = 0.05
+    b1: float = 0.9
+    b2: float = 0.95
+
+    @property
+    def spark_config(self) -> SparKConfig:
+        return SparKConfig(
+            backbone=self.backbone,
+            input_size=self.image_hw[0],
+            mask_ratio=self.mask_ratio,
+            dec_dim=self.dec_dim,
+            pix_norm=self.pix_norm,
+            loss_l2=self.loss_l2,
+            use_pos_emb=self.use_pos_emb,
+            dtype=self.dtype,
+        )
+
+
+class SparkTask:
+    """Masked-image-modeling pretraining of the conditioning encoder."""
+
+    def __init__(self, cfg: SparkTaskConfig):
+        self.cfg = cfg
+        self.model = SparKModel(cfg.spark_config)
+
+    def init(self, key: jax.Array, batch_size: int = 2) -> Variables:
+        h, w = self.cfg.image_hw
+        km, ki = jax.random.split(key)
+        x = jnp.zeros((batch_size, h, w, 1), jnp.float32)
+        scfg = self.cfg.spark_config
+        active = random_mask(km, batch_size, scfg.fmap_size, scfg.len_keep)
+        return dict(self.model.init(ki, x, active))
+
+    def loss(
+        self,
+        variables: Variables,
+        batch: dict,
+        key: jax.Array,
+        *,
+        train: bool = True,
+    ):
+        """Masked reconstruction loss (reference Spark_2D.training_step,
+        Spark_2D.py:26-50): masked-patch loss when loss_on_mask, else full-image
+        L1 plus δ × masked-patch loss."""
+        cfg = self.cfg
+        scfg = cfg.spark_config
+        x01 = batch["vol"].astype(jnp.float32)
+        k_mask, _ = jax.random.split(key)
+        active = random_mask(k_mask, x01.shape[0], scfg.fmap_size, scfg.len_keep)
+
+        if train:
+            reco, mut = self.model.apply(
+                variables, x01, active, train=True, mutable=["batch_stats"]
+            )
+            new_stats = mut["batch_stats"]
+        else:
+            reco = self.model.apply(variables, x01, active, train=False)
+            new_stats = variables.get("batch_stats", {})
+
+        masked_loss = spark_spatial_loss(scfg, x01, reco, active)
+        if cfg.loss_on_mask:
+            loss = masked_loss
+        else:
+            full_l1 = jnp.abs(reco - x01).mean()
+            loss = full_l1 + cfg.mask_loss_weight * masked_loss
+        return loss, (new_stats, {"reco": reco, "active": active})
+
+    def reconstruct(
+        self, variables: Variables, slices01: jax.Array, key: jax.Array
+    ) -> jax.Array:
+        """Volume slice-stack reconstruction for the eval harness
+        (reference Spark_2D.test_step, Spark_2D.py:60-116)."""
+        scfg = self.cfg.spark_config
+        active = random_mask(key, slices01.shape[0], scfg.fmap_size, scfg.len_keep)
+        return self.model.apply(variables, slices01.astype(jnp.float32), active, train=False)
+
+
+# --------------------------------------------------------------------------- #
+# Checkpoint surgery: SparK pretrain -> cDDPM conditioning encoder
+# --------------------------------------------------------------------------- #
+def import_spark_encoder(ddpm_vars: Variables, spark_vars: Variables) -> Variables:
+    """Copy the SparK-pretrained backbone into the cDDPM's conditioning encoder
+    (the reference's state-dict key remap `sparse_encoder.sp_cnn.* -> encoder.*`
+    dropping the fc head, DDPM_2D.py:79-96).
+
+    Our SparK model stores the trunk under `encoder/...`; the DDPM conditioning
+    encoder stores it under `backbone/...` with a fresh `fc` head on top."""
+    out = jax.tree_util.tree_map(lambda v: v, ddpm_vars)  # shallow-ish copy
+    out["params"] = dict(out["params"])
+    enc = dict(out["params"]["encoder"])
+    enc["backbone"] = spark_vars["params"]["encoder"]
+    out["params"]["encoder"] = enc
+    if "batch_stats" in spark_vars and "batch_stats" in out:
+        bs = dict(out["batch_stats"])
+        enc_bs = dict(bs.get("encoder", {}))
+        enc_bs["backbone"] = spark_vars["batch_stats"].get("encoder", {})
+        bs["encoder"] = enc_bs
+        out["batch_stats"] = bs
+    return out
+
+
+TASKS = {
+    "DDPM_2D": DDPMTask,
+    "Spark_2D": SparkTask,
+}

@@ -1,0 +1,168 @@
+"""Run orchestration (L2): fold loop, fit, test-after-training, result pickling.
+
+Capability parity with the reference's `train(cfg)`
+(reference: src/train.py:31-250):
+
+* seed + fold loop over `start_fold..num_folds`            (src/train.py:67-82)
+* datamodule/task instantiation from the composed config   (src/train.py:88-98)
+* SparK-encoder checkpoint import into the cDDPM           (DDPM_2D.py:79-96)
+* fit with best/last checkpointing, resume support         (src/train.py:129-156)
+* onlyEval: restore a checkpoint and skip fit              (src/train.py:159-161)
+* test after training: per-modality gated testsets, a val pass that fits the
+  Dice threshold followed by the test pass that applies it (src/train.py:182-230,
+  utils_eval.py:92-93,262-297)
+* preds_dict pickled per fold + scalar summaries logged    (src/train.py:217-237)
+
+TPU-first: the volume reconstruction inside the eval loop runs slice-parallel
+over the device mesh (eval/reconstruct.py); everything after the residual is
+the fused device post-processing chain of eval/harness.py.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .config import RunConfig
+from .data.datamodules import EVAL_MODULES, IXI, SETS_BY_MODE
+from .eval.harness import EvalSession
+from .eval.reconstruct import VolumeReconstructor
+from .log import CSVLogger, MultiLogger, WandbLogger, log_hyperparameters, summarize
+from .models.tasks import DDPMTask, DDPMTaskConfig, SparkTask, import_spark_encoder
+from .parallel.mesh import local_mesh
+from .train.checkpoint import FoldCheckpointer, find_run_checkpoint
+from .train.loop import Trainer, init_state, make_optimizer, state_variables
+
+
+def build_task(cfg: RunConfig):
+    if cfg.task == "Spark_2D":
+        return SparkTask(cfg.model)
+    return DDPMTask(cfg.model)
+
+
+def _restore_variables(task, ckpt_path_or_dir: str, which: str, fold: int):
+    """Restore {'params','batch_stats'} from a run dir or explicit fold dir."""
+    import orbax.checkpoint as ocp
+
+    path = ckpt_path_or_dir
+    if not os.path.basename(path) in ("best", "last"):
+        path = find_run_checkpoint(path, which, fold)
+    state = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    return {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
+
+
+def evaluate(
+    cfg: RunConfig,
+    task,
+    variables: dict,
+    fold: int,
+    logger,
+    mesh=None,
+) -> dict:
+    """Val-threshold-fit → test protocol over the configured testsets."""
+    is_patched = getattr(cfg.model, "patched", False)
+    recon = VolumeReconstructor(
+        task,
+        mesh=mesh,
+        num_eval_slices=getattr(cfg.model, "num_eval_slices", None),
+        patched=is_patched,
+    )
+    key = jax.random.PRNGKey(cfg.seed + 1000 + fold)
+    preds = {"val": {}, "test": {}}
+    allowed = SETS_BY_MODE.get(cfg.data.mode, list(EVAL_MODULES))
+
+    sets = [s for s in cfg.data.testsets if s in allowed]
+    for setname in sets:
+        module = EVAL_MODULES[setname](cfg.data, fold)
+        threshold = None
+        for stage in ("val", "test"):
+            ds = module.val_eval() if stage == "val" else module.test_eval()
+            session = EvalSession(
+                cfg.eval, setname, stage,
+                threshold=threshold if stage == "test" else None,
+            )
+            for i, sub in enumerate(ds):
+                reco = recon(
+                    variables, sub["vol"], jax.random.fold_in(key, i)
+                )
+                session.test_step(
+                    reco,
+                    sub["vol_orig"],
+                    sub.get("seg_orig"),
+                    sub["mask_orig"],
+                    batch_idx=i,
+                    ID=sub.get("ID", str(i)),
+                    label_vol=sub.get("label", 0),
+                )
+            result = session.test_end()
+            if stage == "val":
+                threshold = dict(session.threshold) or None
+                if threshold is None and session.threshholds_healthy:
+                    threshold = {"total": session.threshholds_healthy["thresh_1p"]}
+            preds[stage][setname] = result
+            logger.log_metrics(summarize(result, f"{stage}/{setname}/fold-{fold}"))
+
+    out_path = os.path.join(cfg.run_dir, f"{fold}_preds_dict.pkl")
+    os.makedirs(cfg.run_dir, exist_ok=True)
+    with open(out_path, "wb") as f:
+        pickle.dump(preds, f)
+    return preds
+
+
+def train(cfg: RunConfig) -> dict:
+    """The full run: per-fold fit (unless only_eval) + evaluation."""
+    os.makedirs(cfg.run_dir, exist_ok=True)
+    import math
+
+    n_dev = cfg.n_devices or jax.device_count()
+    # the data axis must divide the training batch
+    n_dev = math.gcd(cfg.data.batch_size, n_dev)
+    mesh = local_mesh(n_dev) if n_dev > 1 else None
+    results = {}
+
+    for fold in range(cfg.start_fold, cfg.num_folds):
+        logger = MultiLogger(
+            CSVLogger(cfg.run_dir, name=f"csv_fold{fold}"),
+            WandbLogger(cfg.run_dir, project=f"uad_{cfg.datamodule_name}",
+                        group=cfg.name),
+        )
+        task = build_task(cfg)
+        log_hyperparameters(logger, cfg)
+
+        trainer_cfg = cfg.trainer
+        trainer_cfg.ckpt_dir = os.path.join(cfg.run_dir, "checkpoints")
+        trainer_cfg.seed = cfg.seed
+        trainer_cfg.resume = trainer_cfg.resume or cfg.resume_train
+        trainer = Trainer(task, trainer_cfg, mesh=mesh, logger=logger)
+
+        init_variables = None
+        if cfg.pretrained_encoder and isinstance(task, DDPMTask):
+            # SparK -> cDDPM conditioning-encoder surgery
+            spark_cfg_model = cfg.model
+            spark_vars = _restore_variables(
+                task, cfg.pretrained_encoder, cfg.checkpoint, fold
+            )
+            base = init_state(task, jax.random.PRNGKey(cfg.seed), make_optimizer(task))
+            init_variables = import_spark_encoder(
+                state_variables(base), spark_vars
+            )
+
+        if cfg.only_eval:
+            src_dir = cfg.load_checkpoint or os.path.join(cfg.run_dir, "checkpoints")
+            variables = _restore_variables(task, src_dir, cfg.checkpoint, fold)
+        else:
+            dm = IXI(cfg.data, fold=fold)
+            state = trainer.fit(
+                dm.train_slices(),
+                val_source=dm.val_slices(),
+                fold=fold,
+                init_variables=init_variables,
+            )
+            variables = state_variables(jax.device_get(state))
+
+        results[fold] = evaluate(cfg, task, variables, fold, logger, mesh=mesh)
+        logger.finish()
+    return results

@@ -1,0 +1,97 @@
+"""End-to-end smoke: synthetic data -> compose -> train -> eval -> artifacts.
+
+The TPU-world equivalent of the reference's `debug` fast-dev mode
+(reference src/utils/utils.py:47-61) plus the full test-after-training protocol
+(src/train.py:182-237): fits a tiny cDDPM on synthetic NIfTI volumes, runs the
+val-threshold-fit -> test eval over Brats21/MSLUB fixtures, and checks every
+run artifact (checkpoints, metrics CSV, preds pickle, final_config.yaml)."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from conditioned_diffusion_models_uad_tpu.config import compose, materialize
+from conditioned_diffusion_models_uad_tpu.data.synthetic import build_synthetic_root
+from conditioned_diffusion_models_uad_tpu.orchestrate import train
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+TINY_OVERRIDES = [
+    "model.unet_dim=32",
+    "model.num_res_blocks=1",
+    "model.channel_mult=[1,2]",
+    "model.attention_resolutions=[]",
+    "model.cond_dim=16",
+    "model.encoder_backbone=resnet18",
+    "model.timesteps=20",
+    "model.step_ensemble=[5,10]",
+    "model.test_timesteps=10",
+    "model.dtype=float32",
+    "datamodule.image_dim=[64,64,40]",
+    "datamodule.rescale_factor=2.0",
+    "datamodule.batch_size=2",
+    "datamodule.aug_intensity=false",
+    "trainer.max_epochs=2",
+    "trainer.check_val_every_n_epoch=1",
+    "trainer.epoch_scan=false",
+    "eval.save_output_images=false",
+]
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthdata")
+    return build_synthetic_root(
+        str(root), shape=(64, 64, 40), n_train=4, n_val=2, n_test=2, n_eval=2
+    )
+
+
+def test_e2e_cddpm_train_eval(data_root, tmp_path, monkeypatch):
+    monkeypatch.setenv("DATA_DIR", data_root)
+    monkeypatch.setenv("LOG_DIR", str(tmp_path))
+    tree = compose(
+        CONFIG_DIR,
+        "cDDPM/DDPM_cond_spark_2D",
+        TINY_OVERRIDES + ["name=smoke_cddpm"],
+    )
+    cfg = materialize(tree)
+    results = train(cfg)
+
+    preds = results[0]
+    assert set(preds) == {"val", "test"}
+    for stage in ("val", "test"):
+        assert "Brats21" in preds[stage] and "MSLUB" in preds[stage]
+        for setname in ("Brats21", "MSLUB"):
+            d = preds[stage][setname]
+            assert np.isfinite(d["DicePerVolMean"])
+            assert np.isfinite(d["AUPRCPerVolMean"])
+            assert len(d["DiceScorePerVol"]) == 2
+
+    run_dir = cfg.run_dir
+    assert os.path.exists(os.path.join(run_dir, "checkpoints", "fold-0", "best"))
+    assert os.path.exists(os.path.join(run_dir, "checkpoints", "fold-0", "last"))
+    assert os.path.exists(os.path.join(run_dir, "csv_fold0", "metrics.csv"))
+    with open(os.path.join(run_dir, "0_preds_dict.pkl"), "rb") as f:
+        loaded = pickle.load(f)
+    assert loaded["test"]["Brats21"]["DicePerVolMean"] == preds["test"]["Brats21"]["DicePerVolMean"]
+
+    # test stage applied the val-fit threshold: stored per-volume thresholds on
+    # the val stage exist and the test stage produced CC-filtered dice scores
+    assert len(preds["val"]["Brats21"]["BestThresholdPerVol"]) == 2
+
+
+def test_e2e_only_eval_reuses_checkpoint(data_root, tmp_path, monkeypatch):
+    monkeypatch.setenv("DATA_DIR", data_root)
+    monkeypatch.setenv("LOG_DIR", str(tmp_path))
+    base = TINY_OVERRIDES + ["name=smoke_cddpm2", "datamodule.testsets=[Brats21]"]
+    tree = compose(CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D", base)
+    cfg = materialize(tree)
+    train(cfg)
+
+    tree2 = compose(
+        CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D", base + ["only_eval=true"]
+    )
+    cfg2 = materialize(tree2)
+    results = train(cfg2)
+    assert np.isfinite(results[0]["test"]["Brats21"]["DicePerVolMean"])

@@ -1,0 +1,225 @@
+"""Tests for the L4 task modules, the trainer loop, and checkpointing.
+
+Mirrors the reference behaviors: cDDPM train/val objective (DDPM_2D.py:114-155),
+noise-ensemble volume reconstruction (DDPM_2D.py:225-248), SparK masked loss
+(Spark_2D.py:26-50), encoder checkpoint surgery (DDPM_2D.py:79-96), best/last
+checkpoint semantics (configs/callbacks/checkpoint.yaml), and the multi-device
+data-parallel step on the virtual 8-CPU mesh (SURVEY.md §4d)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conditioned_diffusion_models_uad_tpu.data.datamodules import DataConfig, TrainSliceSource
+from conditioned_diffusion_models_uad_tpu.models import (
+    DDPMTask,
+    DDPMTaskConfig,
+    SparkTask,
+    SparkTaskConfig,
+    import_spark_encoder,
+)
+from conditioned_diffusion_models_uad_tpu.parallel import local_mesh
+from conditioned_diffusion_models_uad_tpu.train import (
+    FoldCheckpointer,
+    Trainer,
+    TrainerConfig,
+    init_state,
+    make_optimizer,
+    state_variables,
+)
+
+TINY = dict(
+    image_hw=(32, 32),
+    cond_dim=16,
+    encoder_backbone="resnet18",
+    timesteps=20,
+    unet_dim=32,
+    num_res_blocks=1,
+    channel_mult=(1, 2),
+    attention_resolutions=(),
+    step_ensemble=(5, 10),
+    test_timesteps=10,
+    dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def ddpm_task():
+    return DDPMTask(DDPMTaskConfig(**TINY))
+
+
+@pytest.fixture(scope="module")
+def ddpm_vars(ddpm_task):
+    return ddpm_task.init(jax.random.PRNGKey(0))
+
+
+def _batch(b=2, hw=(32, 32)):
+    k = jax.random.PRNGKey(1)
+    vol = jax.random.uniform(k, (b, *hw, 1))
+    return {"vol": vol, "mask": jnp.ones((b, *hw, 1))}
+
+
+def test_ddpm_loss_finite_and_reco_range(ddpm_task, ddpm_vars):
+    loss, (stats, aux) = ddpm_task.loss(
+        ddpm_vars, _batch(), jax.random.PRNGKey(2), train=True
+    )
+    assert jnp.isfinite(loss)
+    assert aux["reco"].shape == (2, 32, 32, 1)
+    # mutated encoder batch stats returned
+    assert "encoder" in stats
+
+
+def test_ddpm_unconditional():
+    cfg = DDPMTaskConfig(**{**TINY, "condition": False})
+    task = DDPMTask(cfg)
+    v = task.init(jax.random.PRNGKey(0))
+    assert "encoder" not in v["params"]
+    loss, _ = task.loss(v, _batch(), jax.random.PRNGKey(2), train=True)
+    assert jnp.isfinite(loss)
+
+
+def test_ddpm_reconstruct_ensemble(ddpm_task, ddpm_vars):
+    slices = jax.random.uniform(jax.random.PRNGKey(3), (4, 32, 32, 1))
+    reco = ddpm_task.reconstruct(ddpm_vars, slices, jax.random.PRNGKey(4))
+    assert reco.shape == slices.shape
+    assert bool(jnp.isfinite(reco).all())
+
+
+def test_ddpm_truncated_sampling(ddpm_task, ddpm_vars):
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 32, 32, 1))
+    cond, _ = ddpm_task.encode(ddpm_vars, x)
+    out = ddpm_task.sample(
+        ddpm_vars, x.shape, jax.random.PRNGKey(6), cond=cond, x_start01=x, start_t=5
+    )
+    assert out.shape == x.shape
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_patched_ddpm_train_and_eval():
+    cfg = DDPMTaskConfig(
+        **{**TINY, "condition": False, "patched": True, "patch_hw": (16, 16),
+           "inpaint": True, "step_ensemble": ()},
+    )
+    task = DDPMTask(cfg)
+    v = task.init(jax.random.PRNGKey(0))
+    loss, _ = task.loss(v, _batch(), jax.random.PRNGKey(2), train=True)
+    assert jnp.isfinite(loss)
+    slices = jax.random.uniform(jax.random.PRNGKey(3), (2, 32, 32, 1))
+    reco = task.reconstruct_patched(v, slices, jax.random.PRNGKey(4))
+    assert reco.shape == slices.shape
+    assert bool(jnp.isfinite(reco).all())
+
+
+# --------------------------------------------------------------------------- #
+def _spark_cfg():
+    return SparkTaskConfig(
+        image_hw=(64, 64), backbone="resnet18", dec_dim=64, dtype="float32"
+    )
+
+
+def test_spark_loss_and_encoder_import():
+    stask = SparkTask(_spark_cfg())
+    sv = stask.init(jax.random.PRNGKey(0))
+    batch = _batch(b=2, hw=(64, 64))
+    loss_masked, (stats, aux) = stask.loss(sv, batch, jax.random.PRNGKey(1))
+    assert jnp.isfinite(loss_masked)
+    assert aux["reco"].shape == batch["vol"].shape
+
+    # dense-loss variant (loss_on_mask=False): full L1 + delta*masked
+    cfg2 = SparkTaskConfig(
+        image_hw=(64, 64), backbone="resnet18", dec_dim=64, dtype="float32",
+        loss_on_mask=False,
+    )
+    loss_full, _ = SparkTask(cfg2).loss(sv, batch, jax.random.PRNGKey(1))
+    assert jnp.isfinite(loss_full)
+
+    # encoder surgery into a DDPM with the same backbone
+    dtask = DDPMTask(
+        DDPMTaskConfig(**{**TINY, "image_hw": (64, 64), "encoder_backbone": "resnet18"})
+    )
+    dv = dtask.init(jax.random.PRNGKey(2))
+    merged = import_spark_encoder(dv, sv)
+    # backbone params replaced, fc head kept fresh
+    got = jax.tree_util.tree_leaves(merged["params"]["encoder"]["backbone"])
+    want = jax.tree_util.tree_leaves(sv["params"]["encoder"])
+    assert all(np.allclose(a, b) for a, b in zip(got, want))
+    assert "fc" in merged["params"]["encoder"]
+    # merged variables still run
+    loss, _ = dtask.loss(merged, _batch(b=2, hw=(64, 64)), jax.random.PRNGKey(3))
+    assert jnp.isfinite(loss)
+
+
+# --------------------------------------------------------------------------- #
+def _source(n=8, hw=(32, 32), d=6, bs=4):
+    rng = np.random.default_rng(0)
+    vols = rng.random((n, *hw, d), dtype=np.float32)
+    masks = (vols > 0.1).astype(np.float32)
+    cfg = DataConfig(batch_size=bs)
+    return TrainSliceSource(vols, masks, cfg)
+
+
+def test_trainer_fit_loss_decreases(tmp_path, ddpm_task):
+    tcfg = TrainerConfig(
+        max_epochs=3, check_val_every_n_epoch=2, ckpt_dir=str(tmp_path),
+        aug_intensity=False, epoch_scan=True, seed=0,
+    )
+    tr = Trainer(ddpm_task, tcfg)
+    src = _source()
+    state = tr.fit(src, val_source=src, fold=0)
+    assert int(state["step"]) == 3 * 2  # 3 epochs x (8 subjects / bs 4)
+    # best + last checkpoints written with meta
+    ck = FoldCheckpointer(str(tmp_path), 0)
+    restored, meta = ck.restore("best", target=jax.device_get(state))
+    assert "val_loss" in meta and meta["val_loss"] is not None
+    v = state_variables(restored)
+    loss, _ = ddpm_task.loss(v, _batch(), jax.random.PRNGKey(9), train=False)
+    assert jnp.isfinite(loss)
+
+
+def test_trainer_resume(tmp_path, ddpm_task):
+    tcfg = TrainerConfig(
+        max_epochs=2, check_val_every_n_epoch=1, ckpt_dir=str(tmp_path),
+        aug_intensity=False, seed=0,
+    )
+    src = _source()
+    tr = Trainer(ddpm_task, tcfg)
+    tr.fit(src, val_source=src, fold=0)
+    # resume continues from epoch 2 -> no extra epochs to run
+    tcfg2 = TrainerConfig(
+        max_epochs=2, check_val_every_n_epoch=1, ckpt_dir=str(tmp_path),
+        aug_intensity=False, seed=0, resume=True,
+    )
+    tr2 = Trainer(ddpm_task, tcfg2)
+    state = tr2.fit(src, val_source=src, fold=0)
+    assert int(state["step"]) == 2 * 2
+
+
+def test_trainer_multidevice_mesh(ddpm_task, tmp_path):
+    mesh = local_mesh()  # 8 virtual CPU devices (conftest)
+    assert mesh.devices.size == 8
+    tcfg = TrainerConfig(
+        max_epochs=1, check_val_every_n_epoch=10, ckpt_dir=str(tmp_path),
+        aug_intensity=False, epoch_scan=True, seed=0,
+    )
+    tr = Trainer(ddpm_task, tcfg, mesh=mesh)
+    state = tr.fit(_source(n=16, bs=8), fold=0)
+    assert int(state["step"]) == 2  # 16 subjects / bs 8
+    assert all(
+        jnp.isfinite(x).all() for x in jax.tree_util.tree_leaves(state["params"])
+    )
+
+
+def test_fast_dev_run(ddpm_task, tmp_path):
+    tcfg = TrainerConfig(
+        fast_dev_run=True, ckpt_dir=str(tmp_path), aug_intensity=False, seed=0
+    )
+    state = Trainer(ddpm_task, tcfg).fit(_source(), fold=0)
+    assert int(state["step"]) == 1
+
+
+def test_optimizer_selection(ddpm_task):
+    import optax
+
+    assert isinstance(make_optimizer(ddpm_task), optax.GradientTransformation)
+    stask = SparkTask(_spark_cfg())
+    assert isinstance(make_optimizer(stask), optax.GradientTransformation)
