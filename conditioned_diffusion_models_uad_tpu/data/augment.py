@@ -91,6 +91,107 @@ def _rand_ghosting(key, x, min_ghosts: int = 4, max_ghosts: int = 10):
     return jax.vmap(ghost_one)(x, num_ghosts, intensity, axis_is_h)
 
 
+def _rand_noise(key, x, max_std: float = 0.1):
+    """Additive gaussian noise with per-sample std ~ U(0, max_std)
+    (torchio RandomNoise default family)."""
+    k_std, k_n = jax.random.split(key)
+    std = jax.random.uniform(k_std, (x.shape[0], 1, 1, 1), maxval=max_std)
+    return x + std * jax.random.normal(k_n, x.shape)
+
+
+def _rand_motion(key, x, max_transforms: int = 3, max_shift: float = 4.0):
+    """MRI motion artifact: the acquired k-space is a mix of a few randomly
+    *shifted* copies of the image (each shift = a linear phase ramp in k-space),
+    the 2D analog of torchio RandomMotion."""
+    b, h, w, _ = x.shape
+    k_sh, k_wt = jax.random.split(key)
+    shifts = jax.random.uniform(
+        k_sh, (b, max_transforms, 2), minval=-max_shift, maxval=max_shift
+    )
+    weights = jax.random.dirichlet(k_wt, jnp.ones((max_transforms + 1,)), (b,))
+
+    fy = jnp.fft.fftfreq(h)[:, None]
+    fx = jnp.fft.fftfreq(w)[None, :]
+
+    def one(img, sh, wt):
+        spect = jnp.fft.fft2(img[..., 0])
+        acc = wt[0] * spect
+        for t in range(max_transforms):
+            ramp = jnp.exp(-2j * jnp.pi * (fy * sh[t, 0] + fx * sh[t, 1]))
+            acc = acc + wt[t + 1] * spect * ramp
+        return jnp.real(jnp.fft.ifft2(acc))[..., None]
+
+    return jax.vmap(one)(x, shifts, weights)
+
+
+# --------------------------------------------------------------------------- #
+# spatial families (warp image + mask with the same displacement)
+# --------------------------------------------------------------------------- #
+def _warp(img, coords, order: int):
+    """img [H,W], coords [2,H,W] absolute sample positions."""
+    return jax.scipy.ndimage.map_coordinates(img, list(coords), order=order, mode="nearest")
+
+
+def _affine_coords(key, h, w, max_deg=10.0, scale_range=0.1, max_shift=5.0):
+    k_r, k_s, k_t = jax.random.split(key, 3)
+    ang = jax.random.uniform(k_r, (), minval=-max_deg, maxval=max_deg) * jnp.pi / 180
+    sc = 1.0 + jax.random.uniform(k_s, (), minval=-scale_range, maxval=scale_range)
+    tr = jax.random.uniform(k_t, (2,), minval=-max_shift, maxval=max_shift)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    src_y = (cos * yy - sin * xx) / sc + cy + tr[0]
+    src_x = (sin * yy + cos * xx) / sc + cx + tr[1]
+    return jnp.stack([src_y, src_x])
+
+
+def _elastic_coords(key, h, w, grid: int = 4, max_disp: float = 7.5):
+    disp = jax.random.uniform(
+        key, (2, grid, grid), minval=-max_disp, maxval=max_disp
+    )
+    disp = jax.image.resize(disp, (2, h, w), method="cubic")
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    return jnp.stack([yy + disp[0], xx + disp[1]])
+
+
+def spatial_augment_batch(
+    key: jax.Array,
+    vol: jax.Array,  # [B, H, W, 1]
+    mask: jax.Array,
+    p_flip: float = 0.5,
+    p_affine: float = 0.25,
+    p_elastic: float = 0.25,
+):
+    """Geometric families of the reference `get_augment` (torchio RandomFlip /
+    RandomAffine / RandomElasticDeformation, create_dataset.py:220-251): the
+    image is warped bilinearly, the brain mask with nearest-neighbor, using the
+    SAME sampled transform. Returns (vol, mask)."""
+    b, h, w, _ = vol.shape
+    keys = jax.random.split(key, 6)
+
+    flip = jax.random.bernoulli(keys[0], p_flip, (b, 1, 1, 1))
+    vol = jnp.where(flip, vol[:, :, ::-1, :], vol)
+    mask = jnp.where(flip, mask[:, :, ::-1, :], mask)
+
+    def warped(gate_key, coord_key, coord_fn, prob, vol, mask):
+        apply = jax.random.bernoulli(gate_key, prob, (b,))
+        cks = jax.random.split(coord_key, b)
+
+        def one(v, m, ck, ap):
+            coords = coord_fn(ck, h, w)
+            wv = _warp(v[..., 0], coords, order=1)[..., None]
+            wm = _warp(m[..., 0], coords, order=0)[..., None]
+            return jnp.where(ap, wv, v), jnp.where(ap, wm, m)
+
+        return jax.vmap(one)(vol, mask, cks, apply)
+
+    vol, mask = warped(keys[1], keys[2], _affine_coords, p_affine, vol, mask)
+    vol, mask = warped(keys[3], keys[4], _elastic_coords, p_elastic, vol, mask)
+    return vol, mask
+
+
 @jax.jit
 def aug_intensity_batch(key: jax.Array, x: jax.Array) -> jax.Array:
     """Apply the aug_intensity policy to a slice batch [B, H, W, 1] in [0, 1]:
@@ -107,3 +208,20 @@ def aug_intensity_batch(key: jax.Array, x: jax.Array) -> jax.Array:
     x = gated(0.25, keys[4], keys[5], _rand_blur, x)
     x = gated(0.5, keys[6], keys[7], _rand_ghosting, x)
     return x
+
+
+@jax.jit
+def full_augment_batch(key: jax.Array, vol: jax.Array, mask: jax.Array):
+    """The complete `get_augment` family set (reference
+    create_dataset.py:220-251): spatial (flip/affine/elastic) on image+mask,
+    then intensity artifacts (gamma/bias/blur/ghosting/noise/motion) on the
+    image. Returns (vol, mask)."""
+    k_sp, k_int, k_n, k_gn, k_m, k_gm = jax.random.split(key, 6)
+    vol, mask = spatial_augment_batch(k_sp, vol, mask)
+    vol = aug_intensity_batch(k_int, vol)
+    b = vol.shape[0]
+    apply_n = jax.random.bernoulli(k_gn, 0.25, (b, 1, 1, 1))
+    vol = jnp.where(apply_n, _rand_noise(k_n, vol), vol)
+    apply_m = jax.random.bernoulli(k_gm, 0.25, (b, 1, 1, 1))
+    vol = jnp.where(apply_m, _rand_motion(k_m, vol), vol)
+    return vol, mask

@@ -88,6 +88,7 @@ class DDPMTaskConfig:
     num_res_blocks: int = 3
     channel_mult: Sequence[int] = (1, 2, 2)
     attention_resolutions: Sequence[int] = (3, 6, 12)
+    spatial_transformer: bool = False  # cross-attn conditioning (ref :31)
     dtype: str = "bfloat16"
     # optimizer (reference Adam(lr), DDPM_2D.py:305-306)
     lr: float = 1e-4
@@ -102,6 +103,7 @@ class DDPMTaskConfig:
             attention_resolutions=tuple(self.attention_resolutions),
             channel_mult=tuple(self.channel_mult),
             cond_dim=self.cond_dim if self.condition else None,
+            spatial_transformer=self.spatial_transformer,
             dtype=self.dtype,
         )
 

@@ -197,6 +197,90 @@ class AttentionBlock(nn.Module):
         return x + out
 
 
+class CrossAttention(nn.Module):
+    """Multi-head attention over flattened tokens with an optional external
+    context (self-attention when context is None). The cross-attention
+    conditioning alternative of the reference
+    (reference: src/models/LDM/modules/attention.py:152-202)."""
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        # x: [B, N, C], context: [B, M, Cc] or None
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_v")(ctx)
+        b, n, _ = q.shape
+        m = k.shape[1]
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, m, self.heads, self.dim_head)
+        v = v.reshape(b, m, self.heads, self.dim_head)
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(self.dim_head)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, inner)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, param_dtype=jnp.float32,
+                        name="to_out")(out)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn -> cross-attn(context) -> GEGLU FF, all pre-norm residual
+    (reference attention.py:204-222)."""
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+                                       name=name)
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
+                               name="attn1")(ln("norm1")(x).astype(x.dtype))
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
+                               name="attn2")(ln("norm2")(x).astype(x.dtype), context)
+        h = ln("norm3")(x).astype(x.dtype)
+        c = x.shape[-1]
+        u = nn.Dense(8 * c, dtype=self.dtype, param_dtype=jnp.float32, name="ff_in")(h)
+        a, g = jnp.split(u, 2, axis=-1)
+        h = a * nn.gelu(g)
+        x = x + nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="ff_out")(h)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """Tokenize the feature map, run transformer blocks conditioned on external
+    context, project back; zero-init output so it starts as identity
+    (reference attention.py:226-268)."""
+
+    heads: int = 4
+    dim_head: int = 32
+    depth: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        b, h, w, c = x.shape
+        res = x
+        t = GroupNorm32(dtype=self.dtype)(x)
+        t = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="proj_in")(t)
+        t = t.reshape(b, h * w, c)
+        for i in range(self.depth):
+            t = BasicTransformerBlock(self.heads, self.dim_head, self.dtype,
+                                      name=f"block{i}")(t, context)
+        t = t.reshape(b, h, w, c)
+        t = nn.Dense(c, kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="proj_out")(t)
+        return res + t
+
+
 @dataclasses.dataclass(frozen=True)
 class UNetConfig:
     """cDDPM UNet hyperparameters. Defaults mirror the north-star experiment
@@ -215,6 +299,11 @@ class UNetConfig:
     num_head_channels: int = 64
     use_scale_shift_norm: bool = True
     resblock_updown: bool = True
+    # cross-attention conditioning alternative: attention sites become
+    # SpatialTransformers with the condition vector as a 1-token context
+    # (reference spatial_transformer flag, OpenAI_Unet.py:653-655,713-715)
+    spatial_transformer: bool = False
+    transformer_depth: int = 1
     dtype: str = "float32"  # 'float32' | 'bfloat16' compute dtype
 
     @property
@@ -258,7 +347,23 @@ class UNetModel(nn.Module):
 
         x = x.astype(dt)
 
+        context = None
+        if cfg.spatial_transformer and cond is not None:
+            context = cond.astype(dt)[:, None, :]  # [B, 1, cond_dim] token
+
         def attn(h):
+            if cfg.spatial_transformer:
+                heads = (
+                    h.shape[-1] // cfg.num_head_channels
+                    if cfg.num_head_channels > 0
+                    else cfg.num_heads
+                )
+                return SpatialTransformer(
+                    heads=heads,
+                    dim_head=h.shape[-1] // heads,
+                    depth=cfg.transformer_depth,
+                    dtype=dt,
+                )(h, context)
             return AttentionBlock(
                 num_heads=cfg.num_heads,
                 num_head_channels=cfg.num_head_channels,

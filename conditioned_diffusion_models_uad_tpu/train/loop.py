@@ -36,7 +36,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..data.augment import aug_intensity_batch
+from ..data.augment import aug_intensity_batch, full_augment_batch
 from ..data.datamodules import TrainSliceSource
 from ..parallel.mesh import batch_sharding, replicated_sharding
 from .checkpoint import FoldCheckpointer
@@ -53,6 +53,7 @@ class TrainerConfig:
     fast_dev_run: bool = False  # 1 epoch, 1 batch, no ckpt (ref utils.py:47-61)
     overfit_batches: int = 0  # >0: restrict each epoch to the first N batches
     aug_intensity: bool = True
+    aug_full: bool = False  # also spatial/noise/motion families (get_augment)
     epoch_scan: bool = True  # run each epoch as one lax.scan
     limit_val_batches: Optional[int] = None
 
@@ -105,7 +106,9 @@ class Trainer:
             vols, masks = data
             v = vols[vol_idx, :, :, slice_idx][..., None]  # [B, H, W, 1]
             m = masks[vol_idx, :, :, slice_idx][..., None]
-            if augment and cfg.aug_intensity:
+            if augment and cfg.aug_full:
+                v, m = full_augment_batch(key, v, m)
+            elif augment and cfg.aug_intensity:
                 v = aug_intensity_batch(key, v)
             return {"vol": v, "mask": m}
 

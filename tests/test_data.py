@@ -124,3 +124,30 @@ def test_sample_set_subsetting(data_root):
     cfg.sample_set = True
     mod = MSLUB(cfg)
     assert len(mod.val_eval()) <= 4
+
+
+# --------------------------------------------------------------------------- #
+# full augmentation family set (reference get_augment, create_dataset.py:220-251)
+# --------------------------------------------------------------------------- #
+def test_full_augment_batch_shapes_and_mask_binary():
+    import jax
+    import jax.numpy as jnp
+    from conditioned_diffusion_models_uad_tpu.data.augment import (
+        full_augment_batch,
+        spatial_augment_batch,
+    )
+
+    k = jax.random.PRNGKey(0)
+    vol = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 1))
+    mask = (vol > 0.3).astype(jnp.float32)
+    v2, m2 = full_augment_batch(k, vol, mask)
+    assert v2.shape == vol.shape and m2.shape == mask.shape
+    assert bool(jnp.isfinite(v2).all())
+    # nearest-neighbor warping keeps the mask binary
+    assert bool(jnp.all((m2 == 0) | (m2 == 1)))
+
+    v3, m3 = spatial_augment_batch(jax.random.PRNGKey(2), vol, mask, p_flip=1.0,
+                                   p_affine=0.0, p_elastic=0.0)
+    # pure flip: values preserved, geometry mirrored
+    assert bool(jnp.allclose(v3, vol[:, :, ::-1, :]))
+    assert bool(jnp.allclose(m3, mask[:, :, ::-1, :]))
