@@ -27,6 +27,9 @@ BASELINE = 150.0 / 3.1
 
 def main():
     from conditioned_diffusion_models_uad_tpu.models import DDPMTask, DDPMTaskConfig
+    from conditioned_diffusion_models_uad_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     task = DDPMTask(DDPMTaskConfig())  # flagship: 96x96, resnet50, ensemble x3
     variables = task.init(jax.random.PRNGKey(0))
@@ -39,13 +42,18 @@ def main():
 
     # compile + warmup
     reconstruct(variables, slices, key).block_until_ready()
+    reconstruct(variables, slices, key).block_until_ready()
 
-    iters = 5
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = reconstruct(variables, slices, jax.random.fold_in(key, i))
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    # per-iteration timing; median filters out tunnel/dispatch hiccups
+    times = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        reconstruct(
+            variables, slices, jax.random.fold_in(key, i)
+        ).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
 
     ensemble = len(task.cfg.step_ensemble)
     denoises_per_sec = depth * ensemble / dt

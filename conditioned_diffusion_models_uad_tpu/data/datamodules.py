@@ -272,10 +272,14 @@ class IXI:
         self._val_source = None
 
     def _build_source(self, state: str) -> TrainSliceSource:
-        subs = [
-            load_subject(self.csv[state].iloc[i], self.cfg)
-            for i in range(len(self.csv[state]))
-        ]
+        # threaded read-ahead: the native NIfTI reader releases the GIL, so
+        # file decode overlaps with the jitted per-subject preprocessing
+        from ..native.binding import PrefetchLoader
+
+        rows = [self.csv[state].iloc[i] for i in range(len(self.csv[state]))]
+        subs = list(
+            PrefetchLoader(rows, lambda r: load_subject(r, self.cfg), num_threads=4)
+        )
         vols = np.stack([s["vol"] for s in subs])
         masks = np.stack([s["mask"] for s in subs])
         return TrainSliceSource(vols, masks, self.cfg)

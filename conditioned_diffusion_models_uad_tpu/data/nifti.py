@@ -46,7 +46,20 @@ def _open(path):
 
 
 def read_nifti(path: str, dtype=np.float32) -> tuple[np.ndarray, NiftiHeader]:
-    """Read a NIfTI-1 file -> (volume[x, y, z(, t)], header)."""
+    """Read a NIfTI-1 file -> (volume[x, y, z(, t)], header).
+
+    Prefers the native C++ reader (native/nifti_io.cpp — GIL-free zlib decode,
+    the SimpleITK-equivalent fast path); falls back to this pure-Python parser
+    when the native library is unavailable or rejects the file."""
+    if dtype == np.float32:
+        try:
+            from ..native.binding import NativeUnavailable, read_nifti_native
+
+            vol, spacing = read_nifti_native(path)
+            hdr = NiftiHeader(shape=vol.shape, spacing=spacing, dtype=np.float32)
+            return vol, hdr
+        except (ImportError, NativeUnavailable, IOError):
+            pass
     raw = _open(path)
     if len(raw) < 348:
         raise ValueError(f"{path}: truncated NIfTI header")

@@ -1,0 +1,21 @@
+"""Reconstruction losses.
+
+Capability parity with the reference's ``L1_AE`` (reference:
+src/models/losses.py:3-23): L1 reconstruction error with a 'sum' (per-batch
+summed, normalized by batch) or 'mean' strategy, returned as the dict
+``{combined_loss, reg, recon_error}`` the task modules log."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def l1_ae_loss(reco, target, strategy: str = "sum") -> dict:
+    """Returns {'combined_loss', 'reg', 'recon_error'} (reg kept at 0 like the
+    reference's autoencoder loss without a regularizer term)."""
+    err = jnp.abs(reco - target)
+    if strategy == "sum":
+        recon = err.reshape(err.shape[0], -1).sum(axis=1).mean()
+    else:
+        recon = err.mean()
+    zero = jnp.zeros((), err.dtype)
+    return {"combined_loss": recon, "reg": zero, "recon_error": recon}

@@ -144,21 +144,29 @@ class DDPMTask:
 
     # -- initialization ---------------------------------------------------- #
     def init(self, key: jax.Array, batch_size: int = 2) -> Variables:
+        # the whole init is ONE jitted program: eager flax init dispatches
+        # hundreds of tiny ops (one per parameter), which is pathological on a
+        # networked TPU client; jit collapses it to a single executable
         h, w = self.cfg.image_hw
-        ku, ke = jax.random.split(key)
-        x = jnp.zeros((batch_size, h, w, 1), jnp.float32)
-        t = jnp.zeros((batch_size,), jnp.int32)
-        variables = {"params": {}, "batch_stats": {}}
-        if self.encoder is not None:
-            ev = self.encoder.init(ke, x)
-            variables["params"]["encoder"] = ev["params"]
-            variables["batch_stats"]["encoder"] = ev.get("batch_stats", {})
-            cond = jnp.zeros((batch_size, self.cfg.cond_dim), jnp.float32)
-        else:
-            cond = None
-        uv = self.unet.init(ku, x, t, cond)
-        variables["params"]["unet"] = uv["params"]
-        return variables
+
+        @jax.jit
+        def _init(key):
+            ku, ke = jax.random.split(key)
+            x = jnp.zeros((batch_size, h, w, 1), jnp.float32)
+            t = jnp.zeros((batch_size,), jnp.int32)
+            variables = {"params": {}, "batch_stats": {}}
+            if self.encoder is not None:
+                ev = self.encoder.init(ke, x)
+                variables["params"]["encoder"] = ev["params"]
+                variables["batch_stats"]["encoder"] = ev.get("batch_stats", {})
+                cond = jnp.zeros((batch_size, self.cfg.cond_dim), jnp.float32)
+            else:
+                cond = None
+            uv = self.unet.init(ku, x, t, cond)
+            variables["params"]["unet"] = uv["params"]
+            return variables
+
+        return _init(key)
 
     # -- pieces ------------------------------------------------------------ #
     def encode(self, variables: Variables, x01, *, train: bool = False):
@@ -246,16 +254,21 @@ class DDPMTask:
         if cfg.noise_ensemble and len(cfg.step_ensemble) > 0:
             ts = jnp.asarray([t - 1 for t in cfg.step_ensemble], dtype=jnp.int32)
             keys = jax.random.split(key, len(cfg.step_ensemble))
+            # noise fields are generated OUTSIDE the vmap (the Pallas kernel
+            # takes its seed through SMEM, which does not batch under vmap);
+            # the ensemble axis then vmaps over precomputed (t, noise, key)
+            noises = jnp.stack(
+                [self.noise_fn(k, slices01.shape) for k in keys]
+            )
 
-            def one(t, k):
-                noise = self.noise_fn(k, slices01.shape)
+            def one(t, k, noise):
                 _, reco = diffusion_call(
                     self.sched, self.gd_cfg, model_fn, slices01,
                     key=k, t=t, cond=cond, noise=noise,
                 )
                 return reco
 
-            recos = jax.vmap(one)(ts, keys)  # [E, D, H, W, 1]
+            recos = jax.vmap(one)(ts, keys, noises)  # [E, D, H, W, 1]
             return recos.mean(axis=0)
 
         noise = self.noise_fn(key, slices01.shape)
@@ -377,11 +390,16 @@ class SparkTask:
 
     def init(self, key: jax.Array, batch_size: int = 2) -> Variables:
         h, w = self.cfg.image_hw
-        km, ki = jax.random.split(key)
-        x = jnp.zeros((batch_size, h, w, 1), jnp.float32)
         scfg = self.cfg.spark_config
-        active = random_mask(km, batch_size, scfg.fmap_size, scfg.len_keep)
-        return dict(self.model.init(ki, x, active))
+
+        @jax.jit
+        def _init(key):
+            km, ki = jax.random.split(key)
+            x = jnp.zeros((batch_size, h, w, 1), jnp.float32)
+            active = random_mask(km, batch_size, scfg.fmap_size, scfg.len_keep)
+            return dict(self.model.init(ki, x, active))
+
+        return _init(key)
 
     def loss(
         self,

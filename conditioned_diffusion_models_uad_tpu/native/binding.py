@@ -1,0 +1,176 @@
+"""ctypes binding + lazy build of the native NIfTI IO library, and the
+threaded prefetch loader built on it.
+
+The C ABI (nifti_io.cpp) releases the GIL inside ctypes calls, so a plain
+Python thread pool achieves true parallel file decoding — the TPU-native
+replacement for the reference's torchio/SimpleITK dataloader workers
+(reference create_dataset.py:252-258 + DataLoader(num_workers=4),
+Datamodules_train.py:66): same overlap of IO with compute, no process
+spawning, no tensor pickling across processes.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "nifti_io.cpp")
+_LIB = os.path.join(_DIR, "libniftiio.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_err: Optional[str] = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+class _NiftiInfo(ctypes.Structure):
+    _fields_ = [
+        ("ndim", ctypes.c_int32),
+        ("shape", ctypes.c_int32 * 7),
+        ("spacing", ctypes.c_float * 7),
+        ("datatype", ctypes.c_int32),
+        ("scl_slope", ctypes.c_float),
+        ("scl_inter", ctypes.c_float),
+        ("nelem", ctypes.c_int64),
+    ]
+
+
+def _build() -> Optional[str]:
+    """g++-compile the shared library; returns an error string on failure."""
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB, "-lz"],
+            check=True, capture_output=True, text=True, timeout=120,
+        )
+        return None
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, OSError) as e:
+        return getattr(e, "stderr", str(e)) or str(e)
+
+
+def _get_lib():
+    global _lib, _build_err
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_err is not None:
+            raise NativeUnavailable(_build_err)
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            err = _build()
+            if err:
+                _build_err = err
+                raise NativeUnavailable(err)
+        lib = ctypes.CDLL(_LIB)
+        lib.nifti_get_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(_NiftiInfo)]
+        lib.nifti_get_info.restype = ctypes.c_int
+        lib.nifti_read_f32.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        lib.nifti_read_f32.restype = ctypes.c_int
+        lib.nifti_write_f32.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.nifti_write_f32.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    try:
+        _get_lib()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def read_nifti_native(path: str):
+    """-> (float32 array in (x, y, z[, t]) index order, spacing tuple)."""
+    lib = _get_lib()
+    info = _NiftiInfo()
+    rc = lib.nifti_get_info(path.encode(), ctypes.byref(info))
+    if rc != 0:
+        raise IOError(f"nifti_get_info({path}) failed with code {rc}")
+    nd = info.ndim
+    shape = tuple(info.shape[i] for i in range(nd))
+    out = np.empty(int(info.nelem), dtype=np.float32)
+    rc = lib.nifti_read_f32(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(out.size),
+    )
+    if rc != 0:
+        raise IOError(f"nifti_read_f32({path}) failed with code {rc}")
+    # NIfTI stores x fastest -> C-order interpretation is (..., z, y, x);
+    # transpose to (x, y, z, ...) matching data/nifti.py conventions
+    vol = out.reshape(tuple(reversed(shape))).transpose(tuple(reversed(range(nd))))
+    return vol, tuple(float(info.spacing[i]) for i in range(nd))
+
+
+def write_nifti_native(path: str, vol: np.ndarray, spacing: Sequence[float] = ()):
+    lib = _get_lib()
+    vol = np.ascontiguousarray(
+        np.asarray(vol, np.float32).transpose(tuple(reversed(range(vol.ndim))))
+    )
+    # header shape is (x, y, z) order = reversed C-order of the transposed buf
+    shape = (ctypes.c_int32 * 7)(*(
+        list(vol.shape[::-1]) + [1] * (7 - vol.ndim)
+    ))
+    sp = list(spacing) or [1.0] * vol.ndim
+    sp = (ctypes.c_float * 7)(*(sp + [1.0] * (7 - len(sp))))
+    rc = lib.nifti_write_f32(
+        path.encode(), vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        shape, ctypes.c_int32(vol.ndim), sp,
+    )
+    if rc != 0:
+        raise IOError(f"nifti_write_f32({path}) failed with code {rc}")
+
+
+class PrefetchLoader:
+    """Threaded read-ahead over a list of items: `fn(item)` runs in a worker
+    pool (C reads release the GIL), results are yielded in order with up to
+    `prefetch` results in flight — the native-backed replacement for the
+    reference's DataLoader(num_workers=4) prefetching."""
+
+    def __init__(
+        self,
+        items: Sequence,
+        fn: Callable,
+        num_threads: int = 4,
+        prefetch: int = 8,
+    ):
+        self.items = list(items)
+        self.fn = fn
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.items)
+
+    def __iter__(self) -> Iterator:
+        with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
+            futures = []
+            it = iter(self.items)
+            for _ in range(min(self.prefetch, len(self.items))):
+                futures.append(ex.submit(self.fn, next(it)))
+            while futures:
+                fut = futures.pop(0)
+                try:
+                    nxt = next(it)
+                except StopIteration:
+                    nxt = None
+                if nxt is not None:
+                    futures.append(ex.submit(self.fn, nxt))
+                yield fut.result()

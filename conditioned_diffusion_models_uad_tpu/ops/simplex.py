@@ -233,10 +233,23 @@ def make_noise_fn(
     persistence: float = 0.8,
     frequency: float = 64.0,
     layout: str = "nhwc",
+    impl: str = "auto",  # 'auto' | 'pallas' | 'table'
 ):
     """Build a `noise_fn(key, shape)` for the diffusion process: 'simplex' for the
-    fractal field (the cDDPM default), None/'gaussian' for white noise."""
+    fractal field (the cDDPM default), None/'gaussian' for white noise.
+
+    impl='auto' uses the hand-written Pallas kernel on TPU
+    (ops/simplex_pallas.py) and the table-based JAX path elsewhere."""
     if noisetype == "simplex":
+        use_pallas = impl == "pallas" or (
+            impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas and layout == "nhwc":
+            from .simplex_pallas import gen_simplex_noise_pallas_nhwc
+
+            return lambda k, s: gen_simplex_noise_pallas_nhwc(
+                k, tuple(s), octaves, persistence, frequency
+            )
         if layout == "nhwc":
             return lambda k, s: gen_simplex_noise_nhwc(
                 k, tuple(s), octaves, persistence, frequency

@@ -26,6 +26,9 @@ def main(argv=None):
         save_config,
     )
     from conditioned_diffusion_models_uad_tpu.orchestrate import train
+    from conditioned_diffusion_models_uad_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     load_env_file(os.path.join(os.path.dirname(__file__) or ".", "environment.env"))
 

@@ -186,3 +186,25 @@ def test_eval_dictionary_schema():
         "KLD_to_learned_prior", "AUCAnomalyRecoPerSlice",
     ):
         assert k in d and d[k] == []
+
+
+def test_l1_ae_loss_strategies():
+    """L1_AE parity (reference src/models/losses.py:3-23)."""
+    import jax.numpy as jnp
+    from conditioned_diffusion_models_uad_tpu.models.losses import l1_ae_loss
+
+    reco = jnp.ones((2, 4, 4, 1)) * 0.5
+    target = jnp.zeros((2, 4, 4, 1))
+    d_sum = l1_ae_loss(reco, target, "sum")
+    d_mean = l1_ae_loss(reco, target, "mean")
+    assert float(d_sum["combined_loss"]) == 0.5 * 16
+    assert abs(float(d_mean["combined_loss"]) - 0.5) < 1e-6
+    assert float(d_sum["reg"]) == 0.0
+
+
+def test_calc_interres():
+    """Pooling-shape helper parity (reference src/utils/utils.py:234-246)."""
+    from conditioned_diffusion_models_uad_tpu.utils import calc_interres
+
+    assert calc_interres([192, 192], 2.0, 2, 3, 1, 2) == [24, 24]
+    assert calc_interres([192, 192, 100], 2.0, 1, 3, 1, 2) == [48, 48, 25]

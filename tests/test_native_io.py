@@ -1,0 +1,79 @@
+"""Native C++ NIfTI IO tests: build, read/write round-trips, parity with the
+pure-Python parser, and the threaded prefetch loader."""
+import numpy as np
+import pytest
+
+from conditioned_diffusion_models_uad_tpu.native.binding import (
+    PrefetchLoader,
+    native_available,
+    read_nifti_native,
+    write_nifti_native,
+)
+from conditioned_diffusion_models_uad_tpu.data import nifti as pynifti
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library failed to build"
+)
+
+
+def test_roundtrip_native(tmp_path):
+    vol = np.random.default_rng(0).random((17, 23, 9)).astype(np.float32)
+    for name in ("a.nii", "a.nii.gz"):
+        p = str(tmp_path / name)
+        write_nifti_native(p, vol, spacing=(1.5, 2.0, 2.5))
+        out, spacing = read_nifti_native(p)
+        np.testing.assert_allclose(out, vol, rtol=1e-6)
+        assert spacing == (1.5, 2.0, 2.5)
+
+
+def test_parity_with_python_parser(tmp_path):
+    """Native reader must agree with the pure-Python parser on files written
+    by either writer, across dtypes."""
+    rng = np.random.default_rng(1)
+    p1 = str(tmp_path / "py.nii.gz")
+    vol = (rng.random((12, 10, 8)) * 100).astype(np.float32)
+    pynifti.write_nifti(p1, vol, spacing=(2.0, 2.0, 2.0))
+    nat, sp = read_nifti_native(p1)
+    np.testing.assert_allclose(nat, vol, rtol=1e-6)
+
+    p2 = str(tmp_path / "nat.nii.gz")
+    write_nifti_native(p2, vol)
+    pyv, hdr = pynifti.read_nifti(p2)
+    np.testing.assert_allclose(pyv, vol, rtol=1e-6)
+
+    # int16 with scaling written by the python writer
+    p3 = str(tmp_path / "i16.nii")
+    pynifti.write_nifti(p3, (vol).astype(np.int16))
+    nat3, _ = read_nifti_native(p3)
+    py3, _ = pynifti.read_nifti(p3)
+    np.testing.assert_allclose(nat3, py3, rtol=1e-6)
+
+
+def test_read_nifti_prefers_native(tmp_path, monkeypatch):
+    vol = np.random.default_rng(2).random((6, 5, 4)).astype(np.float32)
+    p = str(tmp_path / "v.nii.gz")
+    write_nifti_native(p, vol)
+    out, hdr = pynifti.read_nifti(p)
+    np.testing.assert_allclose(out, vol, rtol=1e-6)
+
+
+def test_error_on_garbage(tmp_path):
+    p = str(tmp_path / "junk.nii")
+    with open(p, "wb") as f:
+        f.write(b"not a nifti at all" * 30)
+    with pytest.raises(IOError):
+        read_nifti_native(p)
+
+
+def test_prefetch_loader_order_and_parallel(tmp_path):
+    vols = [np.full((4, 4, 2), i, np.float32) for i in range(10)]
+    paths = []
+    for i, v in enumerate(vols):
+        p = str(tmp_path / f"s{i}.nii.gz")
+        write_nifti_native(p, v)
+        paths.append(p)
+    out = list(PrefetchLoader(paths, lambda p: read_nifti_native(p)[0],
+                              num_threads=4, prefetch=6))
+    assert len(out) == 10
+    for i, v in enumerate(out):
+        assert float(v[0, 0, 0]) == i  # order preserved
