@@ -162,6 +162,7 @@ class RunConfig:
     num_folds: int = 1
     start_fold: int = 0
     log_dir: str = "./logs"
+    append_datetime: bool = False  # run-dir '<name>_<YYYY-MM-DD_HH-MM-SS>'
     n_devices: Optional[int] = None
     task: str = "DDPM_2D"  # 'DDPM_2D' | 'Spark_2D'
     pretrained_encoder: Optional[str] = None  # SparK ckpt dir for encoder import
@@ -173,7 +174,19 @@ class RunConfig:
 
     @property
     def run_dir(self) -> str:
-        return os.path.join(self.log_dir, self.name)
+        """Run directory (reference run-dir templating, configs/mode/
+        default.yaml:8-36: '<name>_<date>' under LOG_DIR)."""
+        name = self.name
+        if self.append_datetime:
+            if not hasattr(self, "_stamp"):
+                import datetime
+
+                object.__setattr__(
+                    self, "_stamp",
+                    datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S"),
+                )
+            name = f"{name}_{self._stamp}"
+        return os.path.join(self.log_dir, name)
 
 
 def materialize(tree: dict) -> RunConfig:

@@ -77,6 +77,12 @@ class DDPMTaskConfig:
     noise_ensemble: bool = True
     step_ensemble: Sequence[int] = (250, 500, 750)
     num_eval_slices: Optional[int] = None
+    # reconstruction mode: 'single_shot' (the reference's active eval path,
+    # one forward at fixed t) | 'ancestral' | 'ddim' (truncated iterative
+    # reverse sampling from t=test_timesteps — the upstream capability the
+    # fork broke, rebuilt from the math; cond_DDPM.py:432-530)
+    reco_mode: str = "single_shot"
+    sampling_steps: int = 50  # DDIM step count when reco_mode == 'ddim'
     # patched (pDDPM) variant — off for the cDDPM
     patched: bool = False
     patch_hw: Tuple[int, int] = (48, 48)
@@ -250,6 +256,24 @@ class DDPMTask:
         cfg = self.cfg
         cond, _ = self.encode(variables, slices01, train=False)
         model_fn = self._model_fn(variables)
+
+        if cfg.reco_mode != "single_shot":
+            # truncated iterative reverse sampling: noise the volume to
+            # t=test_timesteps with the configured noise source, then run the
+            # full ancestral chain (or DDIM) back to x_0 as one lax.scan
+            x_start = normalize_to_neg_one_to_one(slices01.astype(jnp.float32))
+            if cfg.reco_mode == "ddim":
+                return ddim_sample(
+                    self.sched, self.gd_cfg, model_fn, slices01.shape, key=key,
+                    sampling_timesteps=cfg.sampling_steps, cond=cond,
+                    start_t=cfg.test_timesteps, x_start=x_start,
+                    noise_fn=self.noise_fn,
+                )
+            return p_sample_loop(
+                self.sched, self.gd_cfg, model_fn, slices01.shape, key=key,
+                cond=cond, start_t=cfg.test_timesteps, x_start=x_start,
+                noise_fn=self.noise_fn,
+            )
 
         if cfg.noise_ensemble and len(cfg.step_ensemble) > 0:
             ts = jnp.asarray([t - 1 for t in cfg.step_ensemble], dtype=jnp.int32)

@@ -172,3 +172,56 @@ def test_jit_under_vmap_and_grad_safety():
 
     v = float(step(jax.random.PRNGKey(0)))
     assert np.isfinite(v) and v > 0
+
+
+# --------------------------------------------------------------------------- #
+# 3D noise API (reference Simplex_CLASS rand_3d_*, generate_noise.py:78-133)
+# --------------------------------------------------------------------------- #
+def test_fractal_noise_3d_stats():
+    import jax.numpy as jnp
+    from conditioned_diffusion_models_uad_tpu.ops.simplex3d import fractal_noise_3d
+
+    f = np.asarray(fractal_noise_3d(jnp.int32(3), (16, 48, 48), octaves=4,
+                                    persistence=0.8, frequency=32))
+    assert f.shape == (16, 48, 48)
+    assert np.isfinite(f).all()
+    assert 0.05 < f.std() < 2.0
+    # band-limited: neighboring voxels correlate
+    assert np.abs(np.diff(f, axis=2)).mean() < f.std()
+
+
+def test_fractal_noise_3d_fixed_t_slices_differ():
+    import jax.numpy as jnp
+    from conditioned_diffusion_models_uad_tpu.ops.simplex3d import (
+        fractal_noise_3d_fixed_t,
+    )
+
+    a = np.asarray(fractal_noise_3d_fixed_t(jnp.int32(3), 10.0, (32, 32)))
+    b = np.asarray(fractal_noise_3d_fixed_t(jnp.int32(3), 250.0, (32, 32)))
+    assert a.shape == (1, 32, 32)
+    assert not np.allclose(a, b)  # different time planes
+    c = np.asarray(fractal_noise_3d_fixed_t(jnp.int32(3), 10.0, (32, 32)))
+    assert np.allclose(a, c)  # deterministic given (seed, T)
+
+
+def test_simplex_class_api():
+    from conditioned_diffusion_models_uad_tpu.ops.simplex3d import SimplexNoise
+
+    s = SimplexNoise(7)
+    f2 = np.asarray(s.rand_2d_octaves((32, 32), octaves=3))
+    f3 = np.asarray(s.rand_3d_octaves((4, 16, 16), octaves=2))
+    ft = np.asarray(s.rand_3d_fixed_T_octaves((16, 16), 100.0, octaves=2))
+    assert f2.shape == (32, 32) and f3.shape == (4, 16, 16) and ft.shape == (1, 16, 16)
+    before = f2.copy()
+    s.newSeed(8)
+    assert not np.allclose(np.asarray(s.rand_2d_octaves((32, 32), octaves=3)), before)
+
+
+def test_random_param_noise_pool():
+    from conditioned_diffusion_models_uad_tpu.ops.simplex3d import (
+        gen_simplex_noise_random_param,
+    )
+
+    rng = np.random.default_rng(0)
+    out = np.asarray(gen_simplex_noise_random_param(rng, (32, 32), t=250.0))
+    assert out.shape == (1, 32, 32) and np.isfinite(out).all()

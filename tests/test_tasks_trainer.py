@@ -223,3 +223,33 @@ def test_optimizer_selection(ddpm_task):
     assert isinstance(make_optimizer(ddpm_task), optax.GradientTransformation)
     stask = SparkTask(_spark_cfg())
     assert isinstance(make_optimizer(stask), optax.GradientTransformation)
+
+
+def test_iterative_reco_modes(ddpm_vars):
+    """Truncated iterative reverse sampling as the eval reconstruction
+    (upstream capability, cond_DDPM.py:432-530; BASELINE config 1)."""
+    import dataclasses as _dc
+
+    for mode in ("ancestral", "ddim"):
+        cfg = DDPMTaskConfig(**{**TINY, "reco_mode": mode, "sampling_steps": 4,
+                                "test_timesteps": 8})
+        task = DDPMTask(cfg)
+        slices = jax.random.uniform(jax.random.PRNGKey(3), (2, 32, 32, 1))
+        reco = task.reconstruct(ddpm_vars, slices, jax.random.PRNGKey(4))
+        assert reco.shape == slices.shape
+        assert bool(jnp.isfinite(reco).all()), mode
+
+
+def test_step_timer_and_flops():
+    from conditioned_diffusion_models_uad_tpu.utils import StepTimer, flops_summary
+    from conditioned_diffusion_models_uad_tpu.models.unet import UNetConfig
+
+    t = StepTimer()
+    t.lap()  # start mark
+    for _ in range(3):
+        t.lap(jnp.ones((4,)))
+    s = t.summary()
+    assert s["steps"] == 3 and s["steps_per_sec"] > 0
+    f = flops_summary(UNetConfig(), (96, 96), batch=32, step_time_s=0.1)
+    assert f["unet_gflops_per_forward"] > 1.0
+    assert f["achieved_tflops"] > 0
