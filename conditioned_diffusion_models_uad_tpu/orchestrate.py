@@ -76,7 +76,12 @@ def evaluate(
 
     sets = [s for s in cfg.data.testsets if s in allowed]
     for setname in sets:
-        module = EVAL_MODULES[setname](cfg.data, fold)
+        # 'IXI' is the healthy hold-out (FPR-quantile thresholds on the val
+        # stage, ref utils_eval.py:289-297); lesion sets come from EVAL_MODULES
+        if setname == "IXI":
+            module = IXI(cfg.data, fold=fold)
+        else:
+            module = EVAL_MODULES[setname](cfg.data, fold)
         threshold = None
         for stage in ("val", "test"):
             ds = module.val_eval() if stage == "val" else module.test_eval()
@@ -115,6 +120,7 @@ def evaluate(
 def train(cfg: RunConfig) -> dict:
     """The full run: per-fold fit (unless only_eval) + evaluation."""
     os.makedirs(cfg.run_dir, exist_ok=True)
+    cfg.eval.out_dir = cfg.run_dir  # image grids land under <run>/grid
     import math
 
     n_dev = cfg.n_devices or jax.device_count()

@@ -95,3 +95,22 @@ def test_e2e_only_eval_reuses_checkpoint(data_root, tmp_path, monkeypatch):
     cfg2 = materialize(tree2)
     results = train(cfg2)
     assert np.isfinite(results[0]["test"]["Brats21"]["DicePerVolMean"])
+
+
+def test_e2e_healthy_ixi_testset(data_root, tmp_path, monkeypatch):
+    """IXI as healthy testset: FPR-quantile thresholds fit on the val stage
+    (reference utils_eval.py:289-297, train.py gating)."""
+    monkeypatch.setenv("DATA_DIR", data_root)
+    monkeypatch.setenv("LOG_DIR", str(tmp_path))
+    tree = compose(
+        CONFIG_DIR,
+        "cDDPM/DDPM_cond_spark_2D",
+        TINY_OVERRIDES + ["name=smoke_healthy", "datamodule.testsets=[IXI]",
+                          "trainer.max_epochs=1"],
+    )
+    cfg = materialize(tree)
+    results = train(cfg)
+    val = results[0]["val"]["IXI"]
+    # healthy sets produce the 1/5/10% FPR thresholds, no lesion metrics
+    assert "t_1p" in val and "t_5p" in val and "t_10p" in val
+    assert val["t_1p"] >= val["t_5p"] >= val["t_10p"]
