@@ -304,7 +304,14 @@ class EvalSession:
             if not self.is_healthy and self._diffs_list:
                 diffs = np.concatenate(self._diffs_list)
                 segs = np.concatenate(self._seg_list).astype(bool)
-                bestDice, bestThresh = M.find_best_val(
+                # large pools (every voxel of every val volume) fit on device;
+                # the 20 full-array dice evaluations of the greedy search then
+                # run as jitted reductions instead of host passes
+                search = (
+                    M.find_best_val_device if diffs.size > 4_000_000
+                    else M.find_best_val
+                )
+                bestDice, bestThresh = search(
                     diffs, segs, val_range=(0, float(diffs.max())), max_steps=10
                 )
                 self.threshold["total"] = bestThresh

@@ -123,6 +123,61 @@ def find_best_val(
     return max_val, max_point
 
 
+def _dice_at_jit(xd, yd, y_sum, th):
+    # module-level jit: one compile per pooled-array shape, not per call site
+    import jax
+
+    global _dice_at_compiled
+    if "_dice_at_compiled" not in globals():
+        import jax.numpy as jnp
+
+        def f(xd, yd, y_sum, th):
+            p = (xd > th).astype(jnp.float32)
+            inter = (p * yd).sum()
+            denom = p.sum() + y_sum
+            return jnp.where(denom > 0, 2.0 * inter / denom, 0.0)
+
+        _dice_at_compiled = jax.jit(f)
+    return _dice_at_compiled(xd, yd, y_sum, th)
+
+
+def find_best_val_device(x, y, val_range=(0.0, 1.0), max_steps: int = 10):
+    """Device-side variant of `find_best_val` for LARGE pooled arrays (the
+    val-stage threshold fit concatenates every voxel of every validation
+    volume, ref utils_eval.py:262-288 — hundreds of MB, where the host
+    version's 20 full-array dice evaluations dominate eval wall-clock).
+    Bit-compatible search trajectory with the host version."""
+    import jax.numpy as jnp
+
+    xd = jnp.asarray(x, jnp.float32).ravel()
+    yd = jnp.asarray(y, jnp.float32).ravel()
+    y_sum = yd.sum()
+
+    def _dice_at(th):
+        v = _dice_at_jit(xd, yd, y_sum, th)
+        return v
+
+    lo, hi = float(val_range[0]), float(val_range[1])
+    if lo == hi:
+        hi = 1.0
+    max_val, max_point = 0.0, 0.0
+    for _ in range(max_steps):
+        center = lo + (hi - lo) * 0.5
+        q_bottom = lo + (hi - lo) * 0.25
+        q_top = lo + (hi - lo) * 0.75
+        val_bottom = float(_dice_at(q_bottom))
+        val_top = float(_dice_at(q_top))
+        if val_bottom >= val_top:
+            if val_bottom >= max_val:
+                max_val, max_point = val_bottom, q_bottom
+            hi = center
+        else:
+            if val_top >= max_val:
+                max_val, max_point = val_top, q_top
+            lo = center
+    return max_val, max_point
+
+
 def confusion_counts(pred: np.ndarray, target: np.ndarray):
     """(TP, FP, TN, FN) with the reference's argument order quirk preserved:
     the reference calls sklearn's confusion_matrix(pred, target) (ref :108),

@@ -89,7 +89,14 @@ def evaluate(
                 cfg.eval, setname, stage,
                 threshold=threshold if stage == "test" else None,
             )
-            for i, sub in enumerate(ds):
+            # threaded read-ahead: the next volume loads/preprocesses (native
+            # NIfTI reads release the GIL) while this one reconstructs on device
+            from .native.binding import PrefetchLoader
+
+            loader = PrefetchLoader(
+                range(len(ds)), lambda i: ds[i], num_threads=2, prefetch=2
+            )
+            for i, sub in enumerate(loader):
                 reco = recon(
                     variables, sub["vol"], jax.random.fold_in(key, i)
                 )

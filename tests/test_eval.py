@@ -208,3 +208,21 @@ def test_calc_interres():
 
     assert calc_interres([192, 192], 2.0, 2, 3, 1, 2) == [24, 24]
     assert calc_interres([192, 192, 100], 2.0, 1, 3, 1, 2) == [48, 48, 25]
+
+
+def test_find_best_val_device_matches_host():
+    """Device threshold search follows the same greedy trajectory as the host
+    version (ref utils_eval.py:508-539)."""
+    import numpy as np
+    from conditioned_diffusion_models_uad_tpu.eval.metrics import (
+        find_best_val,
+        find_best_val_device,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.random(100_000).astype(np.float32)
+    y = x + rng.normal(0, 0.3, x.shape) > 1.0
+    d_h, t_h = find_best_val(x, y, val_range=(0, float(x.max())))
+    d_d, t_d = find_best_val_device(x, y, val_range=(0, float(x.max())))
+    assert abs(d_h - d_d) < 1e-5
+    assert abs(t_h - t_d) < 1e-6
