@@ -153,8 +153,7 @@ def train(cfg: RunConfig) -> dict:
 
         init_variables = None
         if cfg.pretrained_encoder and isinstance(task, DDPMTask):
-            # SparK -> cDDPM conditioning-encoder surgery
-            spark_cfg_model = cfg.model
+            # SparK -> cDDPM conditioning-encoder surgery (DDPM_2D.py:79-96)
             spark_vars = _restore_variables(
                 task, cfg.pretrained_encoder, cfg.checkpoint, fold
             )

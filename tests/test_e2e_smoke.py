@@ -114,3 +114,53 @@ def test_e2e_healthy_ixi_testset(data_root, tmp_path, monkeypatch):
     # healthy sets produce the 1/5/10% FPR thresholds, no lesion metrics
     assert "t_1p" in val and "t_5p" in val and "t_10p" in val
     assert val["t_1p"] >= val["t_5p"] >= val["t_10p"]
+
+
+SPARK_TINY = [
+    "model.backbone=resnet18",
+    "model.dec_dim=64",
+    "model.dtype=float32",
+    "datamodule.image_dim=[64,64,40]",
+    "datamodule.rescale_factor=1.0",   # spark wants 64x64 (downsample 32 -> f=2)
+    "datamodule.batch_size=2",
+    "datamodule.aug_intensity=false",
+    "datamodule.testsets=[]",
+    "trainer.max_epochs=1",
+    "trainer.check_val_every_n_epoch=1",
+    "trainer.epoch_scan=false",
+]
+
+
+def test_e2e_spark_pretrain_then_cddpm_encoder_import(data_root, tmp_path, monkeypatch):
+    """The two-pipeline flow: SparK MIM pretraining -> checkpoint ->
+    cDDPM with the pretrained encoder imported (reference encoder_path +
+    pretrained_encoder, DDPM_2D.py:79-96)."""
+    monkeypatch.setenv("DATA_DIR", data_root)
+    monkeypatch.setenv("LOG_DIR", str(tmp_path))
+
+    tree = compose(
+        CONFIG_DIR, "cDDPM/Spark_2D_pretrain",
+        SPARK_TINY + ["name=smoke_spark", "model.image_hw=[64,64]"],
+    )
+    scfg = materialize(tree)
+    train(scfg)
+    spark_run = scfg.run_dir
+    assert os.path.exists(os.path.join(spark_run, "checkpoints", "fold-0", "last"))
+
+    tree2 = compose(
+        CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D",
+        TINY_OVERRIDES + [
+            "name=smoke_cddpm_pre",
+            "model.image_hw=[64,64]",
+            "model.encoder_backbone=resnet18",
+            "datamodule.image_dim=[64,64,40]",
+            "datamodule.rescale_factor=1.0",
+            "datamodule.testsets=[Brats21]",
+            f"pretrained_encoder={spark_run}",
+            "checkpoint=last",
+            "trainer.max_epochs=1",
+        ],
+    )
+    cfg = materialize(tree2)
+    results = train(cfg)
+    assert np.isfinite(results[0]["test"]["Brats21"]["DicePerVolMean"])
