@@ -223,6 +223,15 @@ def materialize(tree: dict) -> RunConfig:
     return rc
 
 
+def print_config(tree: dict) -> None:
+    """Pretty-print the composed config tree at run start (the reference's
+    rich config dump, src/utils/utils.py:68-104; plain YAML here — rich is
+    not in this image)."""
+    print("── composed config " + "─" * 47)
+    print(yaml.safe_dump(tree, sort_keys=False, default_flow_style=None).rstrip())
+    print("─" * 66)
+
+
 def save_config(tree: dict, path: str) -> None:
     """Persist the composed config (reference final_config.yaml, train.py:37-38)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

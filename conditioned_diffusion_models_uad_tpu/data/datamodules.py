@@ -267,6 +267,10 @@ class IXI:
                 df["img_path"] = df["img_path"].str.replace("t1", "t2")
             df["setname"] = "IXI"
             df["settype"] = state
+            if cfg.sample_set:
+                # debug subsetting of the healthy sets too (reference debug
+                # slice, Datamodules_train.py:54-58)
+                df = df[0:2]
             self.csv[state] = df
         self._train_source = None
         self._val_source = None

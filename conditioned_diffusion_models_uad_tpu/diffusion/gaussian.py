@@ -265,6 +265,49 @@ def p_sample_loop(
     return unnormalize_to_zero_to_one(img)
 
 
+def interpolate(
+    sched: DiffusionSchedule,
+    cfg: GaussianDiffusionConfig,
+    model_fn: ModelFn,
+    x1: jax.Array,  # [B,H,W,C] in [-1,1]
+    x2: jax.Array,
+    *,
+    key: jax.Array,
+    t: Optional[int] = None,
+    lam: float = 0.5,
+    cond: Optional[jax.Array] = None,
+    noise_fn: Optional[NoiseFn] = None,
+):
+    """Latent-space interpolation (reference GaussianDiffusion.interpolate,
+    cond_DDPM.py:532-546): noise both images to t, lerp, then run the
+    ancestral chain back to x_0 (as one lax.scan). Returns [-1,1] images."""
+    if t is None:
+        t = sched.num_timesteps - 1
+    if noise_fn is None:
+        noise_fn = lambda k, s: jax.random.normal(k, s, dtype=jnp.float32)
+    b = x1.shape[0]
+    k1, k2, k_loop = jax.random.split(key, 3)
+    tb = jnp.full((b,), t, dtype=jnp.int32)
+    xt1 = q_sample(sched, x1, tb, noise_fn(k1, x1.shape))
+    xt2 = q_sample(sched, x2, tb, noise_fn(k2, x2.shape))
+    img = (1.0 - lam) * xt1 + lam * xt2
+
+    def step(carry, ti):
+        img, k = carry
+        k, nk = jax.random.split(k)
+        bt = jnp.full((b,), ti, dtype=jnp.int32)
+        _, x0 = model_predictions(
+            sched, cfg, model_fn, img, bt, cond, clip_x_start=cfg.clip_denoised
+        )
+        mean, _, log_var = q_posterior(sched, x0, img, bt)
+        noise = noise_fn(nk, img.shape)
+        noise = jnp.where(ti > 0, noise, jnp.zeros_like(noise))
+        return (mean + jnp.exp(0.5 * log_var) * noise, k), None
+
+    (img, _), _ = jax.lax.scan(step, (img, k_loop), jnp.arange(t - 1, -1, -1))
+    return img
+
+
 def ddim_sample(
     sched: DiffusionSchedule,
     cfg: GaussianDiffusionConfig,

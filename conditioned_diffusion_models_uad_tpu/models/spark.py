@@ -75,6 +75,39 @@ def random_mask(key: jax.Array, batch: int, fmap_size: int, len_keep: int):
     return active.reshape(batch, fmap_size, fmap_size)
 
 
+def random_mask_uniform_ratio(
+    key: jax.Array, batch: int, fmap_size: int, lo: float, hi: float
+):
+    """Ranged-ratio variant (reference mask(), spark/Spark_2D.py:125-127):
+    one ratio r ~ U(lo, hi) per call; keep round(f^2 (1-r)) sites. The keep
+    count is a traced scalar compared against ranks — shapes stay static."""
+    f2 = fmap_size * fmap_size
+    k_r, k_s = jax.random.split(key)
+    r = jax.random.uniform(k_r, (), minval=lo, maxval=hi)
+    len_keep = jnp.round(f2 * (1.0 - r)).astype(jnp.int32)
+    scores = jax.random.uniform(k_s, (batch, f2))
+    ranks = jnp.argsort(jnp.argsort(scores, axis=1), axis=1)
+    return (ranks < len_keep).reshape(batch, fmap_size, fmap_size)
+
+
+def random_mask_multi_ratio(
+    key: jax.Array, batch: int, fmap_size: int, ratios=(0.55, 0.65, 0.75)
+):
+    """Per-batch-third ratio variant (reference mask(), spark/Spark_2D.py:
+    129-137): the batch is split in thirds, each third Bernoulli-masked at one
+    of the (permuted) ratios, with one guaranteed active site per sample."""
+    k_p, k_b, k_rc = jax.random.split(key, 3)
+    ratios = jnp.asarray(ratios, jnp.float32)
+    perm = jax.random.permutation(k_p, 3)
+    thirds = jnp.linspace(0, batch, 4).astype(jnp.int32)
+    sample_third = jnp.searchsorted(thirds[1:], jnp.arange(batch), side="right")
+    r = ratios[perm][jnp.clip(sample_third, 0, 2)][:, None, None]
+    active = jax.random.uniform(k_b, (batch, fmap_size, fmap_size)) >= r
+    rr, cc = jax.random.randint(k_rc, (2, batch), 0, fmap_size)
+    active = active.at[jnp.arange(batch), rr, cc].set(True)
+    return active
+
+
 def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
     """Standard 2D sin-cos positional embedding table [grid*grid, embed_dim]."""
     def emb_1d(dim, pos):

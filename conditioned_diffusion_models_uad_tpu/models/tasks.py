@@ -95,6 +95,7 @@ class DDPMTaskConfig:
     channel_mult: Sequence[int] = (1, 2, 2)
     attention_resolutions: Sequence[int] = (3, 6, 12)
     spatial_transformer: bool = False  # cross-attn conditioning (ref :31)
+    use_checkpoint: bool = False  # per-ResBlock remat (ref DDPM_2D_patched.py:34)
     dtype: str = "bfloat16"
     # optimizer (reference Adam(lr), DDPM_2D.py:305-306)
     lr: float = 1e-4
@@ -110,6 +111,7 @@ class DDPMTaskConfig:
             channel_mult=tuple(self.channel_mult),
             cond_dim=self.cond_dim if self.condition else None,
             spatial_transformer=self.spatial_transformer,
+            use_checkpoint=self.use_checkpoint,
             dtype=self.dtype,
         )
 
@@ -378,6 +380,11 @@ class SparkTaskConfig:
     image_hw: Tuple[int, int] = (96, 96)
     backbone: str = "resnet50"
     mask_ratio: float = 0.65
+    # ranged / multi-ratio masking (reference mask(), spark/Spark_2D.py:120-141):
+    # mask_ratio_hi != mask_ratio enables the range; mask_uniform picks one
+    # U(lo,hi) ratio per step, else per-batch-third ratios are permuted
+    mask_ratio_hi: Optional[float] = None
+    mask_uniform: bool = True
     dec_dim: int = 128
     pix_norm: int = 0
     loss_l2: bool = True
@@ -440,7 +447,20 @@ class SparkTask:
         scfg = cfg.spark_config
         x01 = batch["vol"].astype(jnp.float32)
         k_mask, _ = jax.random.split(key)
-        active = random_mask(k_mask, x01.shape[0], scfg.fmap_size, scfg.len_keep)
+        if cfg.mask_ratio_hi is not None and cfg.mask_ratio_hi != cfg.mask_ratio:
+            from .spark import random_mask_multi_ratio, random_mask_uniform_ratio
+
+            if cfg.mask_uniform:
+                active = random_mask_uniform_ratio(
+                    k_mask, x01.shape[0], scfg.fmap_size,
+                    cfg.mask_ratio, cfg.mask_ratio_hi,
+                )
+            else:
+                active = random_mask_multi_ratio(
+                    k_mask, x01.shape[0], scfg.fmap_size
+                )
+        else:
+            active = random_mask(k_mask, x01.shape[0], scfg.fmap_size, scfg.len_keep)
 
         if train:
             reco, mut = self.model.apply(

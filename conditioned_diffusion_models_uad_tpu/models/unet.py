@@ -118,7 +118,7 @@ class ResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, *, deterministic: bool = True):
+    def __call__(self, x, emb, deterministic: bool = True):
         in_ch = x.shape[-1]
 
         h = GroupNorm32(dtype=self.dtype)(x)
@@ -304,6 +304,10 @@ class UNetConfig:
     # (reference spatial_transformer flag, OpenAI_Unet.py:653-655,713-715)
     spatial_transformer: bool = False
     transformer_depth: int = 1
+    # per-ResBlock gradient checkpointing / rematerialization: the reference's
+    # `use_checkpoint` (LDM util.py:102-148, on for the patched variant);
+    # TPU-idiomatic via nn.remat -> jax.checkpoint
+    use_checkpoint: bool = False
     dtype: str = "float32"  # 'float32' | 'bfloat16' compute dtype
 
     @property
@@ -347,6 +351,22 @@ class UNetModel(nn.Module):
 
         x = x.astype(dt)
 
+        # rematerialized ResBlock when gradient checkpointing is on
+        # (deterministic is call-arg index 3 counting self, hence static)
+        Res = (
+            nn.remat(ResBlock, static_argnums=(3,))
+            if cfg.use_checkpoint
+            else ResBlock
+        )
+
+        # stable explicit names: the param tree must not depend on the
+        # remat flag (flax auto-names rematted modules differently)
+        _res_idx = [0]
+
+        def _res_name():
+            _res_idx[0] += 1
+            return f"res{_res_idx[0] - 1}"
+
         context = None
         if cfg.spatial_transformer and cond is not None:
             context = cond.astype(dt)[:, None, :]  # [B, 1, cond_dim] token
@@ -376,72 +396,78 @@ class UNetModel(nn.Module):
         ds = 1
         for level, mult in enumerate(cfg.channel_mult):
             for _ in range(cfg.num_res_blocks):
-                h = ResBlock(
+                h = Res(
                     out_channels=mult * mc,
                     emb_channels=emb.shape[-1],
                     dropout=cfg.dropout,
                     use_scale_shift_norm=cfg.use_scale_shift_norm,
                     dtype=dt,
-                )(h, emb, deterministic=deterministic)
+                    name=_res_name(),
+                )(h, emb, deterministic)
                 if ds in cfg.attention_resolutions:
                     h = attn(h)
                 skips.append(h)
             if level != len(cfg.channel_mult) - 1:
                 if cfg.resblock_updown:
-                    h = ResBlock(
+                    h = Res(
                         out_channels=h.shape[-1],
                         emb_channels=emb.shape[-1],
                         dropout=cfg.dropout,
                         use_scale_shift_norm=cfg.use_scale_shift_norm,
                         down=True,
                         dtype=dt,
-                    )(h, emb, deterministic=deterministic)
+                        name=_res_name(),
+                    )(h, emb, deterministic)
                 else:
                     h = Downsample(h.shape[-1], cfg.conv_resample, dtype=dt)(h)
                 skips.append(h)
                 ds *= 2
 
         # --- middle (always one attention; 24x24 for the 96x96 cDDPM) --------
-        h = ResBlock(
+        h = Res(
             out_channels=h.shape[-1],
             emb_channels=emb.shape[-1],
             dropout=cfg.dropout,
             use_scale_shift_norm=cfg.use_scale_shift_norm,
             dtype=dt,
-        )(h, emb, deterministic=deterministic)
+            name=_res_name(),
+        )(h, emb, deterministic)
         h = attn(h)
-        h = ResBlock(
+        h = Res(
             out_channels=h.shape[-1],
             emb_channels=emb.shape[-1],
             dropout=cfg.dropout,
             use_scale_shift_norm=cfg.use_scale_shift_norm,
             dtype=dt,
-        )(h, emb, deterministic=deterministic)
+            name=_res_name(),
+        )(h, emb, deterministic)
 
         # --- decoder ----------------------------------------------------------
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             for i in range(cfg.num_res_blocks + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResBlock(
+                h = Res(
                     out_channels=mult * mc,
                     emb_channels=emb.shape[-1],
                     dropout=cfg.dropout,
                     use_scale_shift_norm=cfg.use_scale_shift_norm,
                     dtype=dt,
-                )(h, emb, deterministic=deterministic)
+                    name=_res_name(),
+                )(h, emb, deterministic)
                 if ds in cfg.attention_resolutions:
                     h = attn(h)
                 if level and i == cfg.num_res_blocks:
                     if cfg.resblock_updown:
-                        h = ResBlock(
+                        h = Res(
                             out_channels=h.shape[-1],
                             emb_channels=emb.shape[-1],
                             dropout=cfg.dropout,
                             use_scale_shift_norm=cfg.use_scale_shift_norm,
                             up=True,
                             dtype=dt,
-                        )(h, emb, deterministic=deterministic)
+                            name=_res_name(),
+                        )(h, emb, deterministic)
                     else:
                         h = Upsample(h.shape[-1], cfg.conv_resample, dtype=dt)(h)
                     ds //= 2

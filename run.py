@@ -23,6 +23,7 @@ def main(argv=None):
         compose,
         load_env_file,
         materialize,
+        print_config,
         save_config,
     )
     from conditioned_diffusion_models_uad_tpu.orchestrate import train
@@ -45,6 +46,7 @@ def main(argv=None):
     cfg = materialize(tree)
 
     os.makedirs(cfg.run_dir, exist_ok=True)
+    print_config(tree)
     save_config(tree, os.path.join(cfg.run_dir, "final_config.yaml"))
 
     return train(cfg)

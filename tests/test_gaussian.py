@@ -183,3 +183,25 @@ def test_model_predictions_consistency():
     pred_noise, pred_x0 = model_predictions(SCHED, CFG, perfect_model, xt, t)
     np.testing.assert_allclose(np.asarray(pred_x0), np.asarray(x0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(pred_noise), np.asarray(noise), rtol=1e-2, atol=1e-3)
+
+
+def test_interpolate():
+    """Latent interpolation capability (ref cond_DDPM.py:532-546)."""
+    import jax
+    import jax.numpy as jnp
+    from conditioned_diffusion_models_uad_tpu.diffusion import (
+        GaussianDiffusionConfig,
+        interpolate,
+        make_schedule,
+    )
+
+    sched = make_schedule(8)
+    cfg = GaussianDiffusionConfig()
+    model_fn = lambda x, t, cond: x * 0.5  # dummy pred_x0 model
+    x1 = jnp.zeros((2, 8, 8, 1))
+    x2 = jnp.ones((2, 8, 8, 1))
+    out = interpolate(
+        sched, cfg, model_fn, x1, x2, key=jax.random.PRNGKey(0), t=4, lam=0.5
+    )
+    assert out.shape == x1.shape
+    assert bool(jnp.isfinite(out).all())

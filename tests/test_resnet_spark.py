@@ -153,3 +153,49 @@ def test_spark_loss_only_on_masked_patches():
     rec2 = jnp.ones((1, 96, 96, 1)).at[:, 32:64, 32:64].set(2.0)
     loss2 = spark_spatial_loss(cfg, x, rec2, active)
     assert float(loss2) > 0.1
+
+
+def test_mask_variants():
+    """Ranged / multi-ratio masking (reference mask(), spark/Spark_2D.py:120-141)."""
+    import jax
+    import jax.numpy as jnp
+    from conditioned_diffusion_models_uad_tpu.models.spark import (
+        random_mask_multi_ratio,
+        random_mask_uniform_ratio,
+    )
+
+    k = jax.random.PRNGKey(0)
+    a = random_mask_uniform_ratio(k, 6, 4, 0.5, 0.8)
+    assert a.shape == (6, 4, 4)
+    kept = int(a.sum()) / 6
+    assert 16 * 0.15 <= kept <= 16 * 0.55  # ratio within (0.5, 0.8) masked
+
+    b = random_mask_multi_ratio(k, 6, 4)
+    assert b.shape == (6, 4, 4)
+    # guaranteed at least one active site per sample
+    assert bool(jnp.all(b.reshape(6, -1).any(axis=1)))
+
+
+def test_unet_grad_checkpoint_equivalence():
+    """use_checkpoint (nn.remat) must not change values or gradients
+    (reference use_checkpoint, LDM util.py:102-148)."""
+    import jax
+    import jax.numpy as jnp
+    from conditioned_diffusion_models_uad_tpu.models.unet import UNetConfig, UNetModel
+
+    base = dict(model_channels=32, num_res_blocks=1, channel_mult=(1, 2),
+                attention_resolutions=(), cond_dim=None)
+    m1 = UNetModel(UNetConfig(**base))
+    m2 = UNetModel(UNetConfig(**base, use_checkpoint=True))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 1))
+    t = jnp.zeros((2,), jnp.int32)
+    v = m1.init(jax.random.PRNGKey(1), x, t, None)
+
+    def loss(m, v):
+        return lambda p: jnp.abs(m.apply({"params": p}, x, t, None)).mean()
+
+    l1, g1 = jax.value_and_grad(loss(m1, v))(v["params"])
+    l2, g2 = jax.value_and_grad(loss(m2, v))(v["params"])
+    assert abs(float(l1) - float(l2)) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        assert jnp.allclose(a, b, atol=1e-5)
