@@ -168,9 +168,14 @@ class EvalSession:
         )
         slice_scores = np.asarray(P.slice_anomaly_scores(diff, mask))
         vol_score = float(P.volume_anomaly_score(diff, mask))
+        diff_dev = diff  # keep the device residual for the fused metric kernel
         diff = np.asarray(diff)
-        seg_np = np.asarray(seg) > 0
-        mask_np = np.asarray(mask) > 0
+        # binarize from the ORIGINAL host arrays — no device round trip
+        seg_np = (
+            np.asarray(data_seg) > 0 if data_seg is not None
+            else np.zeros(diff.shape, bool)
+        )
+        mask_np = np.asarray(data_mask) > 0
 
         if cfg.save_output_images:
             log_images(
@@ -182,12 +187,20 @@ class EvalSession:
         if cfg.eval_seg and not self.is_healthy:
             flat_diff = diff.ravel()
             flat_seg = seg_np.ravel()
-            AUC, _, _, _ = M.compute_roc(flat_diff, flat_seg)
-            AUPRC, _, _, _ = M.compute_prc(flat_diff, flat_seg)
-
-            bestDice, bestThresh = M.find_best_val(
-                flat_diff, flat_seg, val_range=(0, float(diff.max())), max_steps=10
-            )
+            if flat_diff.size > 100_000:
+                # whole-volume voxel arrays: AUROC + AP + the 10-step greedy
+                # threshold search run as ONE fused device program instead of
+                # two sklearn passes + 20 host dice evaluations
+                AUC, AUPRC, bestDice, bestThresh = M.seg_metrics_device(
+                    diff_dev, seg > 0  # both already on device: no re-upload
+                )
+            else:
+                AUC, _, _, _ = M.compute_roc(flat_diff, flat_seg)
+                AUPRC, _, _, _ = M.compute_prc(flat_diff, flat_seg)
+                bestDice, bestThresh = M.find_best_val(
+                    flat_diff, flat_seg, val_range=(0, float(diff.max())),
+                    max_steps=10,
+                )
             if "test" in self.stage:
                 bestThresh = self.threshold["total"]
             th = bestThresh if cfg.threshold == "auto" else float(cfg.threshold)

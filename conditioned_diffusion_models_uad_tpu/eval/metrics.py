@@ -123,6 +123,122 @@ def find_best_val(
     return max_val, max_point
 
 
+def _auc_ap_device_impl(x, y):
+    import jax.numpy as jnp
+
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    n = x.shape[0]
+    n_pos = y.sum()
+    n_neg = n - n_pos
+
+    # ---- AUROC as the Mann-Whitney U statistic with midranks (exact) ------
+    sorted_x = jnp.sort(x)
+    left = jnp.searchsorted(sorted_x, x, side="left").astype(jnp.float32)
+    right = jnp.searchsorted(sorted_x, x, side="right").astype(jnp.float32)
+    midrank = 0.5 * (left + right + 1.0)  # 1-based average rank
+    rank_sum_pos = (midrank * y).sum()
+    auroc = (rank_sum_pos - n_pos * (n_pos + 1.0) / 2.0) / (n_pos * n_neg)
+
+    # ---- average precision, ties grouped (sklearn semantics) --------------
+    order = jnp.argsort(-x)
+    xs = x[order]
+    ys = y[order]
+    tp = jnp.cumsum(ys)
+    fp = jnp.cumsum(1.0 - ys)
+    precision = tp / jnp.maximum(tp + fp, 1.0)
+    recall = tp / jnp.maximum(n_pos, 1.0)
+    # threshold boundaries: last index of each tied-score group
+    boundary = jnp.concatenate([xs[1:] != xs[:-1], jnp.ones((1,), bool)])
+    # previous boundary's recall = exclusive running max of boundary recalls
+    import jax
+
+    r_b = jnp.where(boundary, recall, 0.0)
+    prev = jnp.concatenate([jnp.zeros((1,)), jax.lax.cummax(r_b)[:-1]])
+    ap = jnp.where(boundary, (recall - prev) * precision, 0.0).sum()
+    return auroc, ap
+
+
+def _seg_metrics_device_impl(x, y, hi0):
+    import jax
+    import jax.numpy as jnp
+
+    auroc, ap = _auc_ap_device_impl(x, y)
+
+    # full greedy quartile threshold search in ONE program (the host driver
+    # version makes 20 sequential device calls — each a dispatch round trip)
+    y_sum = y.sum()
+
+    def dice_at(th):
+        p = (x > th).astype(jnp.float32)
+        inter = (p * y).sum()
+        denom = p.sum() + y_sum
+        return jnp.where(denom > 0, 2.0 * inter / denom, 0.0)
+
+    def body(_, carry):
+        lo, hi, max_val, max_point = carry
+        center = lo + (hi - lo) * 0.5
+        q_bottom = lo + (hi - lo) * 0.25
+        q_top = lo + (hi - lo) * 0.75
+        val_bottom = dice_at(q_bottom)
+        val_top = dice_at(q_top)
+        take_bottom = val_bottom >= val_top
+        cand_val = jnp.where(take_bottom, val_bottom, val_top)
+        cand_point = jnp.where(take_bottom, q_bottom, q_top)
+        better = cand_val >= max_val
+        max_val = jnp.where(better, cand_val, max_val)
+        max_point = jnp.where(better, cand_point, max_point)
+        lo = jnp.where(take_bottom, lo, center)
+        hi = jnp.where(take_bottom, center, hi)
+        return lo, hi, max_val, max_point
+
+    hi0 = jnp.where(hi0 == 0.0, 1.0, hi0)
+    _, _, best_dice, best_th = jax.lax.fori_loop(
+        0, 10, body, (jnp.float32(0.0), hi0, jnp.float32(0.0), jnp.float32(0.0))
+    )
+    return auroc, ap, best_dice, best_th
+
+
+_seg_metrics_compiled = None
+
+
+def seg_metrics_device(predictions, labels):
+    """One fused device program per volume: exact AUROC + AP + the 10-step
+    greedy Dice-threshold search (ref utils_eval.py:80-90,508-539). Returns
+    (auroc, auprc, best_dice, best_threshold) as floats."""
+    import jax
+    import jax.numpy as jnp
+
+    global _seg_metrics_compiled
+    if _seg_metrics_compiled is None:
+        _seg_metrics_compiled = jax.jit(_seg_metrics_device_impl)
+    x = jnp.asarray(predictions, jnp.float32).ravel()
+    y = jnp.asarray(labels).ravel().astype(jnp.float32)
+    auroc, ap, bd, bt = _seg_metrics_compiled(x, y, x.max())
+    return float(auroc), float(ap), float(bd), float(bt)
+
+
+_auc_ap_compiled = None
+
+
+def compute_roc_prc_device(predictions, labels):
+    """Exact AUROC + average precision computed on device (one sort + a few
+    reductions) — replaces two sklearn passes over ~1M voxels per volume,
+    the eval-loop's host bottleneck. Parity-tested against sklearn
+    (ties handled: midranks for AUROC, grouped thresholds for AP)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _auc_ap_compiled
+    if _auc_ap_compiled is None:
+        _auc_ap_compiled = jax.jit(_auc_ap_device_impl)
+    auroc, ap = _auc_ap_compiled(
+        jnp.asarray(predictions, jnp.float32).ravel(),
+        jnp.asarray(labels).ravel().astype(jnp.float32),
+    )
+    return float(auroc), float(ap)
+
+
 def _dice_at_jit(xd, yd, y_sum, th):
     # module-level jit: one compile per pooled-array shape, not per call site
     import jax

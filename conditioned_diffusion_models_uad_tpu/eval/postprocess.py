@@ -34,11 +34,13 @@ def residual_volume(orig: jax.Array, reco: jax.Array, mode: str = "l1") -> jax.A
     return jnp.abs(d) if mode == "l1" else d * d
 
 
+@jax.jit
 def reco_errors(orig: jax.Array, reco: jax.Array, seg: jax.Array) -> dict:
     """Whole/healthy/unhealthy L1+L2 reconstruction errors (ref :36-49).
 
     `seg > 0` marks anomalous voxels. Means are masked means (the reference
-    indexes with the boolean mask; identical arithmetic).
+    indexes with the boolean mask; identical arithmetic). Jitted: all six
+    reductions are ONE device dispatch.
     """
     orig = orig.astype(jnp.float32)
     reco = reco.astype(jnp.float32)

@@ -226,3 +226,45 @@ def test_find_best_val_device_matches_host():
     d_d, t_d = find_best_val_device(x, y, val_range=(0, float(x.max())))
     assert abs(d_h - d_d) < 1e-5
     assert abs(t_h - t_d) < 1e-6
+
+
+def test_device_roc_prc_matches_sklearn():
+    """Device AUROC/AP parity with sklearn, including heavy ties."""
+    from sklearn.metrics import average_precision_score, roc_auc_score
+    from conditioned_diffusion_models_uad_tpu.eval.metrics import (
+        compute_roc_prc_device,
+    )
+
+    rng = np.random.default_rng(11)
+    y = rng.uniform(size=5000) > 0.8
+    # quantized scores -> many ties
+    x = np.round((y * 0.4 + rng.uniform(size=5000)) * 20) / 20
+    auc_d, ap_d = compute_roc_prc_device(x, y)
+    assert auc_d == pytest.approx(roc_auc_score(y, x), abs=1e-5)
+    assert ap_d == pytest.approx(average_precision_score(y, x), abs=1e-5)
+
+    # continuous scores, no ties
+    x2 = y * 0.5 + rng.normal(0, 0.5, size=5000)
+    auc_d2, ap_d2 = compute_roc_prc_device(x2, y)
+    assert auc_d2 == pytest.approx(roc_auc_score(y, x2), abs=1e-5)
+    assert ap_d2 == pytest.approx(average_precision_score(y, x2), abs=1e-5)
+
+
+def test_seg_metrics_device_matches_host_pipeline():
+    """The fused device kernel must reproduce sklearn AUROC/AP and the host
+    greedy threshold search on the same inputs."""
+    from sklearn.metrics import average_precision_score, roc_auc_score
+    from conditioned_diffusion_models_uad_tpu.eval.metrics import (
+        find_best_val,
+        seg_metrics_device,
+    )
+
+    rng = np.random.default_rng(12)
+    y = rng.uniform(size=20000) > 0.85
+    x = (y * 0.5 + rng.uniform(size=20000)).astype(np.float32)
+    auc_d, ap_d, bd_d, bt_d = seg_metrics_device(x, y)
+    assert auc_d == pytest.approx(roc_auc_score(y, x), abs=1e-5)
+    assert ap_d == pytest.approx(average_precision_score(y, x), abs=1e-5)
+    bd_h, bt_h = find_best_val(x, y, val_range=(0, float(x.max())), max_steps=10)
+    assert bd_d == pytest.approx(bd_h, abs=1e-5)
+    assert bt_d == pytest.approx(bt_h, abs=1e-5)
