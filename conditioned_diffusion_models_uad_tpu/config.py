@@ -199,6 +199,11 @@ def materialize(tree: dict) -> RunConfig:
     eval_d = tree.pop("eval", {}) or {}
 
     dm_name = data_d.pop("name", "IXI")
+    data_cfg = DataConfig(**_filter_fields(DataConfig, data_d))
+    # the model operates at the datamodule's post-rescale resolution
+    # (reference: image 96x96 = imageDim / rescaleFactor, DDPM_2D.py:37-60);
+    # derive image_hw unless the experiment pins it explicitly
+    model_d.setdefault("image_hw", list(data_cfg.model_hw))
     if task_name == "Spark_2D":
         model = SparkTaskConfig(**_filter_fields(SparkTaskConfig, model_d))
     else:
@@ -210,7 +215,7 @@ def materialize(tree: dict) -> RunConfig:
     rc = RunConfig(
         **top,
         model=model,
-        data=DataConfig(**_filter_fields(DataConfig, data_d)),
+        data=data_cfg,
         trainer=TrainerConfig(**_filter_fields(TrainerConfig, trainer_d)),
         eval=EvalConfig(**_filter_fields(EvalConfig, eval_d)),
     )

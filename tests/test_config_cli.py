@@ -89,3 +89,22 @@ def test_load_env_file(tmp_path, monkeypatch):
     load_env_file(str(p))
     assert os.environ["MY_TEST_VAR"] == "hello"
     del os.environ["MY_TEST_VAR"]
+
+
+def test_image_hw_derived_from_datamodule(monkeypatch):
+    """model.image_hw follows imageDim/rescaleFactor (ref DDPM_2D.py:37-60)
+    unless pinned explicitly."""
+    monkeypatch.setenv("DATA_DIR", "/tmp/x")
+    cfg = materialize(compose(
+        CONFIG_DIR, "cDDPM/DDPM_patched",
+        ["datamodule.image_dim=[64,64,40]", "datamodule.rescale_factor=2.0"],
+    ))
+    assert tuple(cfg.model.image_hw) == (32, 32)
+    cfg2 = materialize(compose(
+        CONFIG_DIR, "cDDPM/DDPM_patched",
+        ["datamodule.image_dim=[64,64,40]", "model.image_hw=[64,64]"],
+    ))
+    assert tuple(cfg2.model.image_hw) == (64, 64)
+    # default north-star stays 96x96
+    cfg3 = materialize(compose(CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D"))
+    assert tuple(cfg3.model.image_hw) == (96, 96)
