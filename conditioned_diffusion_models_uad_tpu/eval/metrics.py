@@ -360,11 +360,23 @@ def hausdorff_distance(pred: np.ndarray, target: np.ndarray) -> float:
     (parity with monai.metrics.compute_hausdorff_distance(directed=False,
     percentile=None), ref utils_eval.py:132-135): max over both directed
     max-of-min surface distances. Returns nan when either mask is empty
-    (monai convention; the reference filters non-finite values, :255)."""
+    (monai convention; the reference filters non-finite values, :255).
+
+    Computed inside the union bounding box (+1 voxel) — mathematically
+    identical (both surfaces lie inside the box) and avoids full-volume
+    distance transforms, the single most expensive host metric per volume."""
     pred = np.asarray(pred).astype(bool)
     target = np.asarray(target).astype(bool)
     if not pred.any() or not target.any():
         return float("nan")
+    union = pred | target
+    idx = np.where(union)
+    sl = tuple(
+        slice(max(0, int(i.min()) - 1), min(s, int(i.max()) + 2))
+        for i, s in zip(idx, union.shape)
+    )
+    pred = pred[sl]
+    target = target[sl]
     ps = _surface(pred)
     ts = _surface(target)
     dt_t = ndi.distance_transform_edt(~ts)

@@ -89,26 +89,37 @@ def evaluate(
                 cfg.eval, setname, stage,
                 threshold=threshold if stage == "test" else None,
             )
-            # threaded read-ahead: the next volume loads/preprocesses (native
-            # NIfTI reads release the GIL) while this one reconstructs on device
+            # three-stage pipeline: volume i+1 loads on reader threads (native
+            # NIfTI reads release the GIL) and volume i's host-side metrics run
+            # on a scorer thread WHILE volume i+1 reconstructs on device —
+            # per-volume wall-clock becomes max(reconstruct, metrics), not sum
+            from concurrent.futures import ThreadPoolExecutor
+
             from .native.binding import PrefetchLoader
 
             loader = PrefetchLoader(
                 range(len(ds)), lambda i: ds[i], num_threads=2, prefetch=2
             )
-            for i, sub in enumerate(loader):
-                reco = recon(
-                    variables, sub["vol"], jax.random.fold_in(key, i)
-                )
-                session.test_step(
-                    reco,
-                    sub["vol_orig"],
-                    sub.get("seg_orig"),
-                    sub["mask_orig"],
-                    batch_idx=i,
-                    ID=sub.get("ID", str(i)),
-                    label_vol=sub.get("label", 0),
-                )
+            with ThreadPoolExecutor(max_workers=1) as scorer:
+                pending = None
+                for i, sub in enumerate(loader):
+                    reco = recon(
+                        variables, sub["vol"], jax.random.fold_in(key, i)
+                    )
+                    if pending is not None:
+                        pending.result()
+                    pending = scorer.submit(
+                        session.test_step,
+                        reco,
+                        sub["vol_orig"],
+                        sub.get("seg_orig"),
+                        sub["mask_orig"],
+                        i,
+                        sub.get("ID", str(i)),
+                        sub.get("label", 0),
+                    )
+                if pending is not None:
+                    pending.result()
             result = session.test_end()
             if stage == "val":
                 threshold = dict(session.threshold) or None
