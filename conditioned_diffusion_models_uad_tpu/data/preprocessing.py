@@ -295,10 +295,22 @@ def prepare_subject(
 ) -> dict:
     """Run the staged pipeline on one subject; writes <name>_{t1,mask[,seg]}
     NIfTIs into out_dir and returns the produced paths."""
+    from .datamodules import _host_jax
+
     name = os.path.basename(img_path).split(".")[0]
     vol, meta = read_nifti(img_path)
     spacing = tuple(meta.spacing) if meta.spacing else (1.0, 1.0, 1.0)
     seg = read_nifti(seg_path)[0] if seg_path else None
+
+    with _host_jax():
+        return _prepare_stages(
+            name, vol, spacing, seg, out_dir, cfg, atlas
+        )
+
+
+def _prepare_stages(name, vol, spacing, seg, out_dir, cfg, atlas):
+    """The staged pipeline body; runs under the host-CPU jax context —
+    offline data preparation must not occupy the accelerator."""
 
     if cfg.resample:
         vol = resample_iso(vol, spacing, cfg.target_spacing)
