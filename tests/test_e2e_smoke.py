@@ -164,3 +164,30 @@ def test_e2e_spark_pretrain_then_cddpm_encoder_import(data_root, tmp_path, monke
     cfg = materialize(tree2)
     results = train(cfg)
     assert np.isfinite(results[0]["test"]["Brats21"]["DicePerVolMean"])
+
+
+def test_e2e_multifold(tmp_path_factory, tmp_path, monkeypatch):
+    """Fold loop parity (reference src/train.py:72-82): per-fold CSVs, separate
+    checkpoints and preds pickles."""
+    root = tmp_path_factory.mktemp("folds")
+    data_root = build_synthetic_root(
+        str(root), shape=(64, 64, 40), n_train=3, n_val=2, n_test=2, n_eval=2,
+        num_folds=2,
+    )
+    monkeypatch.setenv("DATA_DIR", data_root)
+    monkeypatch.setenv("LOG_DIR", str(tmp_path))
+    tree = compose(
+        CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D",
+        TINY_OVERRIDES + ["name=smoke_folds", "num_folds=2",
+                          "datamodule.testsets=[Brats21]",
+                          "trainer.max_epochs=1"],
+    )
+    cfg = materialize(tree)
+    results = train(cfg)
+    assert set(results) == {0, 1}
+    for fold in (0, 1):
+        assert np.isfinite(results[fold]["test"]["Brats21"]["DicePerVolMean"])
+        assert os.path.exists(
+            os.path.join(cfg.run_dir, "checkpoints", f"fold-{fold}", "last")
+        )
+        assert os.path.exists(os.path.join(cfg.run_dir, f"{fold}_preds_dict.pkl"))
