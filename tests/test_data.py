@@ -151,3 +151,55 @@ def test_full_augment_batch_shapes_and_mask_binary():
     # pure flip: values preserved, geometry mirrored
     assert bool(jnp.allclose(v3, vol[:, :, ::-1, :]))
     assert bool(jnp.allclose(m3, mask[:, :, ::-1, :]))
+
+
+def test_vol2slice_windows_and_unique():
+    """start_slice / seq_slices windows and unique_slice per batch
+    (reference vol2slice, create_dataset.py:143-193)."""
+    import numpy as np
+    from conditioned_diffusion_models_uad_tpu.data.datamodules import (
+        DataConfig,
+        TrainSliceSource,
+    )
+
+    rng = np.random.default_rng(0)
+    vols = rng.random((6, 8, 8, 20), dtype=np.float32)
+    masks = np.ones_like(vols)
+
+    # fixed single slice
+    src = TrainSliceSource(vols, masks, DataConfig(batch_size=3, start_slice=7))
+    for vi, si in src.epoch_indices(np.random.default_rng(1)):
+        assert (si == 7).all()
+
+    # sequential window [5, 9)
+    src = TrainSliceSource(
+        vols, masks, DataConfig(batch_size=3, start_slice=5, seq_slices=4)
+    )
+    for vi, si in src.epoch_indices(np.random.default_rng(1)):
+        assert ((si >= 5) & (si < 9)).all()
+
+    # unique_slice: one depth for the whole batch
+    src = TrainSliceSource(
+        vols, masks, DataConfig(batch_size=3, unique_slice=True)
+    )
+    for vi, si in src.epoch_indices(np.random.default_rng(1)):
+        assert len(set(si.tolist())) == 1
+
+    # drop_last=False keeps the remainder batch
+    src = TrainSliceSource(
+        vols, masks, DataConfig(batch_size=4, drop_last=False)
+    )
+    sizes = [len(vi) for vi, _ in src.epoch_indices(np.random.default_rng(1))]
+    assert sizes == [4, 2]
+
+
+def test_make_noise_fn_gaussian_and_table():
+    import jax
+    from conditioned_diffusion_models_uad_tpu.ops.simplex import make_noise_fn
+
+    g = make_noise_fn(None)(jax.random.PRNGKey(0), (2, 16, 16, 1))
+    assert g.shape == (2, 16, 16, 1)
+    s = make_noise_fn("simplex", impl="table")(jax.random.PRNGKey(0), (2, 16, 16, 1))
+    import numpy as np
+
+    assert np.allclose(np.asarray(s[0]), np.asarray(s[1]))  # broadcast field
