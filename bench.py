@@ -18,8 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_SLICE_DENOISES_PER_SEC = 150.0  # 50 slices x 3 t-values / ~1 s of 3.0-3.3 s/vol GPU eval => 150/3≈50... see below
-
 # Reference anchor (BASELINE.md): 3.0-3.3 s/volume with 50 slices x 3 ensemble
 # members = 150 slice-denoises per ~3.1 s ≈ 48.4 slice-denoises/s.
 BASELINE = 150.0 / 3.1

@@ -221,6 +221,13 @@ def materialize(tree: dict) -> RunConfig:
     )
     rc.datamodule_name = dm_name
 
+    # single-source knobs: the datamodule owns augmentation and the eval
+    # resolution mode (the reference reads both from datamodule cfg)
+    if "aug_intensity" not in trainer_d:
+        rc.trainer.aug_intensity = rc.data.aug_intensity
+    if "resized_evaluation" not in eval_d:
+        rc.eval.resized_evaluation = rc.data.resized_evaluation
+
     # debug coercion (reference utils.extras, src/utils/utils.py:27-64)
     if rc.debug:
         rc.trainer.fast_dev_run = True

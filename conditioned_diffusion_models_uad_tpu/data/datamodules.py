@@ -168,18 +168,17 @@ class EvalDataset:
         self.cfg = cfg
         self.setname = setname
         self.stage = stage
-        self._cache: dict = {}
 
     def __len__(self):
         return len(self.csv)
 
     def __getitem__(self, i: int) -> dict:
-        if i not in self._cache:
-            sub = load_subject(self.csv.iloc[i], self.cfg, keep_orig=True)
-            sub["Dataset"] = self.setname
-            sub["stage"] = self.stage
-            self._cache[i] = sub
-        return self._cache[i]
+        # no caching: the eval loop visits each index exactly once per stage,
+        # and keep_orig subjects are tens of MB each — a cache only leaks RAM
+        sub = load_subject(self.csv.iloc[i], self.cfg, keep_orig=True)
+        sub["Dataset"] = self.setname
+        sub["stage"] = self.stage
+        return sub
 
     def __iter__(self) -> Iterator[dict]:
         for i in range(len(self)):

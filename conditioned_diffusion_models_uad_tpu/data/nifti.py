@@ -95,7 +95,14 @@ def read_nifti(path: str, dtype=np.float32) -> tuple[np.ndarray, NiftiHeader]:
     # transpose back to (x, y, z, ...)
     arr = arr.reshape(shape[::-1]).transpose(range(len(shape))[::-1])
     arr = np.asarray(arr, dtype=dtype)
-    if scl_slope not in (0.0, 1.0) and np.isfinite(scl_slope):
+    # NIfTI scaling: slope==0 means "no scaling"; otherwise y = x*slope + inter
+    # (inter applies even when slope == 1 — matches the native reader)
+    if (
+        np.isfinite(scl_slope)
+        and np.isfinite(scl_inter)
+        and scl_slope != 0.0
+        and (scl_slope != 1.0 or scl_inter != 0.0)
+    ):
         arr = arr * scl_slope + scl_inter
     hdr = NiftiHeader(
         shape=shape, spacing=tuple(float(p) for p in pixdim[1 : 1 + ndim]),

@@ -35,11 +35,13 @@ def main(argv=None):
     from .preprocessing import DATASET_STAGES, prepare_subject
     from ..native.binding import PrefetchLoader
 
+    import dataclasses
+
     cfg = DATASET_STAGES[args.dataset]
     atlas = None
     if args.atlas:
         atlas, _ = read_nifti(args.atlas)
-        cfg.register = True
+        cfg = dataclasses.replace(cfg, register=True)
 
     imgs = sorted(
         f for f in glob.glob(os.path.join(args.input, "*.nii*"))

@@ -10,8 +10,6 @@ Capability parity with the reference's torchio/SimpleITK pipeline
                                B-spline interpolation with recursive prefiltering
 * ``curvature_flow``         — sitk.CurvatureFlow(timeStep=.125, iterations=3)
                                applied to images (not masks/segs) at read time
-* ``resize_trilinear``       — F.interpolate(..., 'trilinear') for the
-                               full-resolution evaluation path (utils_eval.py:25)
 
 TPU-first: the reference runs all of this on host CPU inside dataloader workers;
 here every transform is a pure jittable function so whole eval sets preprocess on
@@ -35,16 +33,17 @@ import numpy as np
 
 
 def crop_or_pad(vol: np.ndarray, target: tuple, pad_value: float = 0.0) -> np.ndarray:
-    """Center crop/pad to `target` (tio.CropOrPad semantics: the excess is split
-    in half with the extra voxel going to the trailing side)."""
+    """Center crop/pad to `target` (tio.CropOrPad semantics: the excess is
+    split in half with the extra voxel going to the LEADING side — torchio's
+    `ini, fin = ceil(half), floor(half)` bounds)."""
     out = vol
     for ax, tgt in enumerate(target):
         size = out.shape[ax]
         if size > tgt:
-            lo = (size - tgt) // 2
+            lo = -(-(size - tgt) // 2)  # ceil: extra cropped from the front
             out = np.take(out, np.arange(lo, lo + tgt), axis=ax)
         elif size < tgt:
-            lo = (tgt - size) // 2
+            lo = -(-(tgt - size) // 2)  # ceil: extra padded at the front
             pads = [(0, 0)] * out.ndim
             pads[ax] = (lo, tgt - size - lo)
             out = np.pad(out, pads, constant_values=pad_value)
@@ -243,7 +242,3 @@ def nearest_downsample(vol: jax.Array, factor: float) -> jax.Array:
     return out
 
 
-@partial(jax.jit, static_argnames=("size",))
-def resize_trilinear(vol: jax.Array, size: tuple) -> jax.Array:
-    """Trilinear resize (the resizedEvaluation=False path, utils_eval.py:25)."""
-    return jax.image.resize(vol.astype(jnp.float32), size, method="trilinear")

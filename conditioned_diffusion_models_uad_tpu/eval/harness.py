@@ -141,8 +141,14 @@ class EvalSession:
     ) -> None:
         cfg = self.cfg
         final_volume = jnp.asarray(final_volume, dtype=jnp.float32)
-        if not cfg.resized_evaluation:
-            final_volume = P.resize_trilinear(final_volume, tuple(cfg.new_size))
+        if not cfg.resized_evaluation and final_volume.shape != data_orig.shape:
+            # full-resolution evaluation: upsample the model-res reconstruction
+            # onto the ORIG grid (the reference's new_size constant is replaced
+            # by the actual full-res shape — the two must match for the
+            # residual, ref utils_eval.py:24-27)
+            final_volume = P.resize_trilinear(
+                final_volume, tuple(np.asarray(data_orig).shape)
+            )
         orig = jnp.asarray(data_orig, dtype=jnp.float32)
         mask = jnp.asarray(data_mask, dtype=jnp.float32)
         seg = (

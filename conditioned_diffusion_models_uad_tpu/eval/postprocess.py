@@ -162,6 +162,14 @@ def volume_anomaly_score(diff: jax.Array, mask: jax.Array) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("size",))
 def resize_trilinear(vol: jax.Array, size: tuple) -> jax.Array:
-    """Trilinear resize to `size` for full-resolution evaluation
-    (ref utils_eval.py:24-27, F.interpolate mode='trilinear')."""
-    return jax.image.resize(vol.astype(jnp.float32), size, method="trilinear")
+    """Trilinear resize to `size` with align_corners=True semantics for
+    full-resolution evaluation (ref utils_eval.py:24-27 passes
+    align_corners=True to F.interpolate): sample positions map
+    i -> i*(in-1)/(out-1), unlike jax.image.resize's half-pixel grid."""
+    vol = vol.astype(jnp.float32)
+    coords = [
+        jnp.linspace(0.0, max(s_in - 1, 0), s_out)
+        for s_in, s_out in zip(vol.shape, size)
+    ]
+    grid = jnp.meshgrid(*coords, indexing="ij")
+    return jax.scipy.ndimage.map_coordinates(vol, grid, order=1, mode="nearest")

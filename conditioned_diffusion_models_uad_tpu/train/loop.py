@@ -237,13 +237,19 @@ class Trainer:
         steps, t0 = 0, time.time()
         last_loss = float("nan")
 
-        for epoch in range(start_epoch, max_epochs):
-            limit = (
-                1
-                if cfg.fast_dev_run
-                else (cfg.overfit_batches or None)
+        overfit_arrays = None
+        if cfg.overfit_batches and not cfg.fast_dev_run:
+            # Lightning overfit semantics: the SAME fixed batches every epoch
+            overfit_arrays = self._epoch_index_arrays(
+                train_source, np.random.default_rng(cfg.seed), cfg.overfit_batches
             )
-            vi_all, si_all = self._epoch_index_arrays(train_source, rng, limit)
+
+        for epoch in range(start_epoch, max_epochs):
+            if overfit_arrays is not None:
+                vi_all, si_all = overfit_arrays
+            else:
+                limit = 1 if cfg.fast_dev_run else None
+                vi_all, si_all = self._epoch_index_arrays(train_source, rng, limit)
             if vi_all is None:
                 raise ValueError("empty training source")
 

@@ -203,3 +203,19 @@ def test_make_noise_fn_gaussian_and_table():
     import numpy as np
 
     assert np.allclose(np.asarray(s[0]), np.asarray(s[1]))  # broadcast field
+
+
+def test_nifti_scl_inter_with_unit_slope(tmp_path):
+    """scl_inter applies even when scl_slope == 1 (NIfTI spec; native parity)."""
+    import struct
+    from conditioned_diffusion_models_uad_tpu.data import nifti as pynifti
+
+    p = str(tmp_path / "s.nii")
+    vol = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+    pynifti.write_nifti(p, vol)
+    raw = bytearray(open(p, "rb").read())
+    raw[112:116] = struct.pack("<f", 1.0)   # scl_slope
+    raw[116:120] = struct.pack("<f", 10.0)  # scl_inter
+    open(p, "wb").write(bytes(raw))
+    out, _ = pynifti.read_nifti(p)
+    np.testing.assert_allclose(out, vol + 10.0)

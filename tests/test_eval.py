@@ -268,3 +268,31 @@ def test_seg_metrics_device_matches_host_pipeline():
     bd_h, bt_h = find_best_val(x, y, val_range=(0, float(x.max())), max_steps=10)
     assert bd_d == pytest.approx(bd_h, abs=1e-5)
     assert bt_d == pytest.approx(bt_h, abs=1e-5)
+
+
+def test_full_resolution_evaluation_path():
+    """resized_evaluation=False upsamples the model-res reconstruction onto
+    the orig grid (align_corners=True trilinear, ref utils_eval.py:24-27)."""
+    rng = np.random.default_rng(9)
+    cfg = EvalConfig(resized_evaluation=False, erode_brainmask=False,
+                     median_filtering=False)
+    sess = EvalSession(cfg, "Brats21", "val")
+    reco = rng.uniform(size=(24, 24, 8)).astype(np.float32)   # model res
+    orig = rng.uniform(size=(48, 48, 16)).astype(np.float32)  # full res
+    seg = np.zeros_like(orig); seg[10:20, 10:20, 4:12] = 1
+    mask = np.ones_like(orig)
+    sess.test_step(reco, orig, seg, mask, 0, "v0", 1)
+    d = sess.test_end()
+    assert np.isfinite(d["AUCPerVolMean"])
+    assert len(d["AnomalyScoreRecoPerVol"]) == 1
+
+
+def test_resize_trilinear_align_corners():
+    """align_corners=True: corners map exactly; a linear ramp stays linear."""
+    from conditioned_diffusion_models_uad_tpu.eval.postprocess import resize_trilinear
+
+    v = np.arange(4, dtype=np.float32)[:, None, None] * np.ones((4, 2, 2), np.float32)
+    out = np.asarray(resize_trilinear(v, (7, 2, 2)))
+    np.testing.assert_allclose(out[0, 0, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(out[-1, 0, 0], 3.0, atol=1e-6)
+    np.testing.assert_allclose(out[:, 0, 0], np.linspace(0, 3, 7), atol=1e-6)

@@ -12,7 +12,6 @@ from conditioned_diffusion_models_uad_tpu.data.transforms import (
     curvature_flow,
     nearest_downsample,
     percentile_rescale,
-    resize_trilinear,
 )
 
 scipy_ndimage = pytest.importorskip("scipy.ndimage")
@@ -30,7 +29,14 @@ def test_crop_or_pad_pad():
     out = crop_or_pad(v, (4, 2, 5))
     assert out.shape == (4, 2, 5)
     assert out.sum() == v.sum()  # zero padding
-    np.testing.assert_array_equal(out[1:3, :, 1:3], 1.0)
+    # torchio puts the extra voxel of an odd difference on the LEADING side
+    # (ini, fin = ceil(half), floor(half)): 2 -> 5 pads (2, 1)
+    np.testing.assert_array_equal(out[1:3, :, 2:4], 1.0)
+
+    # odd crop: 5 -> 2 removes ceil(3/2)=2 leading voxels
+    w = np.arange(5, dtype=np.float32)[:, None, None] * np.ones((5, 2, 2), np.float32)
+    cropped = crop_or_pad(w, (2, 2, 2))
+    np.testing.assert_array_equal(cropped[:, 0, 0], [2.0, 3.0])
 
 
 def test_percentile_rescale_masked():
@@ -98,6 +104,8 @@ def test_nearest_downsample_labels():
 
 
 def test_resize_trilinear_shape():
+    from conditioned_diffusion_models_uad_tpu.eval.postprocess import resize_trilinear
+
     v = jnp.ones((4, 4, 4))
     out = resize_trilinear(v, (8, 7, 6))
     assert out.shape == (8, 7, 6)
