@@ -175,13 +175,39 @@ class Trainer:
     def _epoch_index_arrays(self, source: TrainSliceSource, rng, limit=None):
         vis, sis = [], []
         for vi, si in source.epoch_indices(rng):
+            vi, si = self._pad_batch_idx(vi, si)
             vis.append(vi)
             sis.append(si)
             if limit is not None and len(vis) >= limit:
                 break
         if not vis:
             return None, None
+        # wrap-pad any remainder batch to the common size so the epoch stacks
+        # into one [S, B] array (and shards evenly)
+        bs = max(len(v) for v in vis)
+        for i, (vi, si) in enumerate(zip(vis, sis)):
+            if len(vi) != bs:
+                idx = np.resize(np.arange(len(vi)), bs)
+                vis[i], sis[i] = vi[idx], si[idx]
         return np.stack(vis), np.stack(sis)
+
+    def _pad_batch_idx(self, vi: np.ndarray, si: np.ndarray):
+        """Pad an index batch up to a multiple of the mesh size by wrapping
+        (small datasets / remainder batches must still shard evenly; the
+        duplicated samples only reweight a monitoring loss slightly)."""
+        if self.mesh is None:
+            return vi, si
+        m = int(self.mesh.devices.size)
+        n = len(vi)
+        target = ((n + m - 1) // m) * m
+        if target == n:
+            return vi, si
+        pad = target - n
+        idx = np.resize(np.arange(n), target)[n:]
+        return (
+            np.concatenate([vi, vi[idx]]),
+            np.concatenate([si, si[idx]]),
+        )
 
     def _device_data(self, source: TrainSliceSource):
         """Replicate the stacked volumes across the mesh ONCE (committed
@@ -199,6 +225,7 @@ class Trainer:
         for i, (vi, si) in enumerate(source.epoch_indices(rng)):
             if limit is not None and i >= limit:
                 break
+            vi, si = self._pad_batch_idx(vi, si)
             losses.append(
                 float(self._val_step(state, data, vi, si, jax.random.fold_in(key, i)))
             )

@@ -191,3 +191,28 @@ def test_e2e_multifold(tmp_path_factory, tmp_path, monkeypatch):
             os.path.join(cfg.run_dir, "checkpoints", f"fold-{fold}", "last")
         )
         assert os.path.exists(os.path.join(cfg.run_dir, f"{fold}_preds_dict.pkl"))
+
+
+def test_e2e_atlas_wmh_t1_gating(tmp_path_factory, tmp_path, monkeypatch):
+    """ATLAS/WMH eval modules (t1-only per the reference's modality gating,
+    src/train.py:187-190): evaluated in t1 mode, skipped in t2 mode."""
+    root = tmp_path_factory.mktemp("atlaswmh")
+    data_root = build_synthetic_root(
+        str(root), shape=(64, 64, 40), n_train=2, n_val=1, n_test=1, n_eval=2,
+        eval_sets=("ATLAS", "WMH"),
+    )
+    monkeypatch.setenv("DATA_DIR", data_root)
+    monkeypatch.setenv("LOG_DIR", str(tmp_path))
+    base = TINY_OVERRIDES + [
+        "name=smoke_atlas", "datamodule.testsets=[ATLAS,WMH]",
+        "trainer.max_epochs=1",
+    ]
+    cfg = materialize(compose(CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D", base))
+    results = train(cfg)
+    for s in ("ATLAS", "WMH"):
+        assert np.isfinite(results[0]["test"][s]["DicePerVolMean"])
+
+    # t2 mode gates both sets out entirely (SETS_BY_MODE)
+    from conditioned_diffusion_models_uad_tpu.data.datamodules import SETS_BY_MODE
+
+    assert "ATLAS" not in SETS_BY_MODE["t2"] and "WMH" not in SETS_BY_MODE["t2"]
