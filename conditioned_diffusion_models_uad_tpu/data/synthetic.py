@@ -73,13 +73,19 @@ def build_synthetic_root(
     eval_sets=("Brats21", "MSLUB"),
     num_folds: int = 1,
     seed: int = 0,
+    with_t2: bool = False,
 ) -> str:
     """Create <root>/Data/{IXI,<eval sets>}/... and <root>/Data/splits/*.csv
-    mirroring the reference dataset layout. Returns `root` (the DATA_DIR)."""
+    mirroring the reference dataset layout. Returns `root` (the DATA_DIR).
+
+    with_t2 additionally writes a *_t2.nii.gz companion per subject plus the
+    IXI `avail_t2.csv` keep-list (the reference's t2-mode inputs,
+    Datamodules_train.py:34-49)."""
     rng = np.random.default_rng(seed)
     data = os.path.join(root, "Data")
     splits = os.path.join(data, "splits")
     os.makedirs(splits, exist_ok=True)
+    t2_names: list = []
 
     def write_subject(setname, name, lesions):
         d = os.path.join(data, setname)
@@ -89,6 +95,11 @@ def build_synthetic_root(
         mask_rel = f"/{setname}/{name}_mask.nii.gz"
         write_nifti(data + img_rel, vol)
         write_nifti(data + mask_rel, mask)
+        if with_t2:
+            # t2 contrast proxy: inverted intensities inside the brain
+            t2 = np.where(mask > 0, vol.max() - vol, vol).astype(np.float32)
+            write_nifti(data + img_rel.replace("t1", "t2"), t2)
+            t2_names.append(f"{name}_t2")
         row = {
             "img_path": img_rel,
             "mask_path": mask_rel,
@@ -133,4 +144,11 @@ def build_synthetic_root(
         ]
         write_csv(os.path.join(splits, f"{setname}_val.csv"), va, True)
         write_csv(os.path.join(splits, f"{setname}_test.csv"), tr, True)
+
+    if with_t2:
+        with open(os.path.join(splits, "avail_t2.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["0"])
+            for n in t2_names:
+                w.writerow([n])
     return root

@@ -216,3 +216,32 @@ def test_e2e_atlas_wmh_t1_gating(tmp_path_factory, tmp_path, monkeypatch):
     from conditioned_diffusion_models_uad_tpu.data.datamodules import SETS_BY_MODE
 
     assert "ATLAS" not in SETS_BY_MODE["t2"] and "WMH" not in SETS_BY_MODE["t2"]
+
+
+def test_e2e_t2_mode(tmp_path_factory, tmp_path, monkeypatch):
+    """t2 modality: IXI keep-list filtering via avail_t2.csv + t1->t2 path
+    rewriting across train and eval modules (reference
+    Datamodules_train.py:34-49, Datamodules_eval.py:31-32)."""
+    root = tmp_path_factory.mktemp("t2data")
+    data_root = build_synthetic_root(
+        str(root), shape=(64, 64, 40), n_train=3, n_val=2, n_test=1, n_eval=2,
+        eval_sets=("Brats21",), with_t2=True,
+    )
+    monkeypatch.setenv("DATA_DIR", data_root)
+    monkeypatch.setenv("LOG_DIR", str(tmp_path))
+    cfg = materialize(compose(
+        CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D",
+        TINY_OVERRIDES + ["name=smoke_t2", "datamodule.mode=t2",
+                          "datamodule.testsets=[Brats21]",
+                          "trainer.max_epochs=1"],
+    ))
+    # datamodule paths really point at the t2 files
+    from conditioned_diffusion_models_uad_tpu.data.datamodules import IXI, Brats21
+
+    dm = IXI(cfg.data, fold=0)
+    assert all("t2" in p for p in dm.csv["train"]["img_path"])
+    ev = Brats21(cfg.data, fold=0)
+    assert all("t2" in p for p in ev.csv["test"]["img_path"])
+
+    results = train(cfg)
+    assert np.isfinite(results[0]["test"]["Brats21"]["DicePerVolMean"])
