@@ -242,18 +242,25 @@ class EvalSession:
 
             # per-slice metrics on lesion slices (ref :137-144); depth is the
             # LAST axis here (reference iterates the first axis of its
-            # permuted volume — same set of slices)
-            for s in range(seg_np.shape[-1]):
-                seg_slice = seg_np[..., s]
-                if seg_slice.any():
-                    pred_slice = diff[..., s] > bestThresh
-                    d["DiceScorePerSlice"].append(M.dice(pred_slice, seg_slice))
-                    p_s, r_s, _, _ = M.precision_recall_specificity_accuracy(
-                        pred_slice, seg_slice
-                    )
-                    d["PrecisionPerSlice"].append(p_s)
-                    d["RecallPerSlice"].append(r_s)
-                    d["lesionSizePerSlice"].append(int(seg_slice.sum()))
+            # permuted volume — same set of slices). Vectorized over depth:
+            # per-slice TP/FP/FN via axis reductions instead of a python loop.
+            pred_all = diff > bestThresh
+            seg_sz = seg_np.sum(axis=(0, 1))
+            lesion = seg_sz > 0
+            tp_s = (pred_all & seg_np).sum(axis=(0, 1)).astype(np.float64)
+            fp_s = (pred_all & ~seg_np).sum(axis=(0, 1)).astype(np.float64)
+            fn_s = ((~pred_all) & seg_np).sum(axis=(0, 1)).astype(np.float64)
+            pred_sz = tp_s + fp_s
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dice_s = np.where(
+                    pred_sz + seg_sz > 0, 2 * tp_s / (pred_sz + seg_sz), np.nan
+                )
+                prec_s = np.where(pred_sz > 0, tp_s / pred_sz, 0.0)
+                rec_s = np.where(tp_s + fn_s > 0, tp_s / (tp_s + fn_s), 0.0)
+            d["DiceScorePerSlice"].extend(dice_s[lesion].tolist())
+            d["PrecisionPerSlice"].extend(prec_s[lesion].tolist())
+            d["RecallPerSlice"].extend(rec_s[lesion].tolist())
+            d["lesionSizePerSlice"].extend(seg_sz[lesion].astype(int).tolist())
 
         # val-stage pooling for the global threshold fit (ref :146-152)
         if "val" in self.stage:

@@ -16,8 +16,21 @@ import os
 import sys
 
 
+USAGE = """usage: python run.py experiment=cDDPM/<name> [key=value ...]
+
+experiments: cDDPM/DDPM_cond_spark_2D (north-star) | cDDPM/DDPM |
+             cDDPM/DDPM_patched | cDDPM/Spark_2D_pretrain
+overrides:   dotted keys with YAML-typed values, e.g.
+             trainer.max_epochs=100 'model.step_ensemble=[250,500,750]'
+             only_eval=true load_checkpoint=<run-dir> datamodule.mode=t2
+env:         DATA_DIR, LOG_DIR (or put them in environment.env)"""
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    if any(a in ("-h", "--help", "help") for a in argv):
+        print(USAGE)
+        return None
 
     from conditioned_diffusion_models_uad_tpu.config import (
         compose,
