@@ -104,6 +104,9 @@ class EvalConfig:
     save_to_disc: bool = True
     use_postprocessed_score: bool = True
     out_dir: str = "."
+    # volumes scored concurrently with device reconstruction of later volumes;
+    # test_step commits atomically, so >1 worker is safe on multi-core hosts
+    scorer_threads: int = 1
 
 
 class EvalSession:
@@ -127,6 +130,12 @@ class EvalSession:
         self._diffs_list: list = []
         self._seg_list: list = []
         self.is_healthy = dataset_name in HEALTHY_SETS
+        # test_step computes into locals and commits atomically, so multiple
+        # scorer threads can evaluate volumes concurrently without scrambling
+        # the per-volume alignment across the eval_dict lists
+        import threading
+
+        self._lock = threading.Lock()
 
     # ------------------------------------------------------------------ #
     def test_step(
@@ -157,10 +166,13 @@ class EvalSession:
             else jnp.zeros_like(mask)
         )
 
+        # all eval_dict mutations are deferred to one atomic commit
+        rec: list = []
+
         # reconstruction errors w.r.t. anomal/normal regions (ref :36-49)
         errs = P.reco_errors(orig, final_volume, seg)
         for k, v in errs.items():
-            self.eval_dict[k].append(float(v))
+            rec.append((k, "append", float(v)))
 
         # fused device chain: residual → erosion → median (ref :28-69)
         erode_iters = int(orig.shape[1]) // 25 if cfg.erode_brainmask else 0
@@ -217,28 +229,29 @@ class EvalSession:
 
             diceScore = M.dice(thresholded, flat_seg)
             TP, FP, TN, FN = M.confusion_counts(thresholded, flat_seg)
-            prec, rec, spec, acc = M.precision_recall_specificity_accuracy(
+            prec, recall, spec, acc = M.precision_recall_specificity_accuracy(
                 thresholded, flat_seg
             )
-            d = self.eval_dict
-            d["lesionSizePerVol"].append(int(flat_seg.sum()))
-            d["DiceScorePerVol"].append(diceScore)
-            d["BestDicePerVol"].append(bestDice)
-            d["BestThresholdPerVol"].append(bestThresh)
-            d["AUCPerVol"].append(AUC)
-            d["AUPRCPerVol"].append(AUPRC)
-            d["TPPerVol"].append(TP)
-            d["FPPerVol"].append(FP)
-            d["TNPerVol"].append(TN)
-            d["FNPerVol"].append(FN)
-            d["TPRPerVol"].append(M.tpr(thresholded, flat_seg))
-            d["FPRPerVol"].append(M.fpr(thresholded, flat_seg))
-            d["IDs"].append(ID)
-            d["AccuracyPerVol"].append(acc)
-            d["PrecisionPerVol"].append(prec)
-            d["RecallPerVol"].append(rec)
-            d["SpecificityPerVol"].append(spec)
-            d["HausPerVol"].append(M.hausdorff_distance(thresholded, seg_np))
+            rec.extend([
+                ("lesionSizePerVol", "append", int(flat_seg.sum())),
+                ("DiceScorePerVol", "append", diceScore),
+                ("BestDicePerVol", "append", bestDice),
+                ("BestThresholdPerVol", "append", bestThresh),
+                ("AUCPerVol", "append", AUC),
+                ("AUPRCPerVol", "append", AUPRC),
+                ("TPPerVol", "append", TP),
+                ("FPPerVol", "append", FP),
+                ("TNPerVol", "append", TN),
+                ("FNPerVol", "append", FN),
+                ("TPRPerVol", "append", M.tpr(thresholded, flat_seg)),
+                ("FPRPerVol", "append", M.fpr(thresholded, flat_seg)),
+                ("IDs", "append", ID),
+                ("AccuracyPerVol", "append", acc),
+                ("PrecisionPerVol", "append", prec),
+                ("RecallPerVol", "append", recall),
+                ("SpecificityPerVol", "append", spec),
+                ("HausPerVol", "append", M.hausdorff_distance(thresholded, seg_np)),
+            ])
 
             # per-slice metrics on lesion slices (ref :137-144); depth is the
             # LAST axis here (reference iterates the first axis of its
@@ -257,15 +270,13 @@ class EvalSession:
                 )
                 prec_s = np.where(pred_sz > 0, tp_s / pred_sz, 0.0)
                 rec_s = np.where(tp_s + fn_s > 0, tp_s / (tp_s + fn_s), 0.0)
-            d["DiceScorePerSlice"].extend(dice_s[lesion].tolist())
-            d["PrecisionPerSlice"].extend(prec_s[lesion].tolist())
-            d["RecallPerSlice"].extend(rec_s[lesion].tolist())
-            d["lesionSizePerSlice"].extend(seg_sz[lesion].astype(int).tolist())
+            rec.extend([
+                ("DiceScorePerSlice", "extend", dice_s[lesion].tolist()),
+                ("PrecisionPerSlice", "extend", prec_s[lesion].tolist()),
+                ("RecallPerSlice", "extend", rec_s[lesion].tolist()),
+                ("lesionSizePerSlice", "extend", seg_sz[lesion].astype(int).tolist()),
+            ])
 
-        # val-stage pooling for the global threshold fit (ref :146-152)
-        if "val" in self.stage:
-            self._diffs_list.append(diff.ravel())
-            self._seg_list.append(seg_np.ravel().astype(np.int8))
 
         # slice-wise anomaly scores + labels (ref :154-183)
         if diff.ndim != 2:
@@ -273,23 +284,30 @@ class EvalSession:
                 int(seg_np[..., s].any()) for s in range(seg_np.shape[-1])
             ]
             if not self.is_healthy:
-                d = self.eval_dict
                 AUC_s, _, _, _ = M.compute_roc(slice_scores, np.array(slice_labels))
                 AUPRC_s, _, _, _ = M.compute_prc(slice_scores, np.array(slice_labels))
-                d["AUCAnomalyRecoPerSlice"].append(AUC_s)
-                d["AUPRCAnomalyRecoPerSlice"].append(AUPRC_s)
-                d["labelPerSlice"].extend(slice_labels)
-                d["AnomalyScoreRecoPerSlice"].extend(slice_scores.tolist())
+                rec.extend([
+                    ("AUCAnomalyRecoPerSlice", "append", AUC_s),
+                    ("AUPRCAnomalyRecoPerSlice", "append", AUPRC_s),
+                    ("labelPerSlice", "extend", slice_labels),
+                    ("AnomalyScoreRecoPerSlice", "extend", slice_scores.tolist()),
+                ])
 
         # sample-wise anomaly scores (ref :185-194)
         if cfg.use_postprocessed_score:
-            d = self.eval_dict
-            d["AnomalyScoreRecoPerVol"].append(vol_score)
-            d["AnomalyScoreCombPerVol"].append(vol_score)
-            d["AnomalyScoreCombiPerVol"].append(vol_score)
-            d["AnomalyScoreCombPriorPerVol"].append(vol_score)
-            d["AnomalyScoreCombiPriorPerVol"].append(vol_score)
-        self.eval_dict["labelPerVol"].append(int(label_vol))
+            for k in ("AnomalyScoreRecoPerVol", "AnomalyScoreCombPerVol",
+                      "AnomalyScoreCombiPerVol", "AnomalyScoreCombPriorPerVol",
+                      "AnomalyScoreCombiPriorPerVol"):
+                rec.append((k, "append", vol_score))
+        rec.append(("labelPerVol", "append", int(label_vol)))
+
+        # --- atomic commit: one volume's rows land together ---------------- #
+        with self._lock:
+            for k, mode, v in rec:
+                getattr(self.eval_dict[k], mode)(v)
+            if "val" in self.stage:  # pooling for the global threshold fit
+                self._diffs_list.append(diff.ravel())
+                self._seg_list.append(seg_np.ravel().astype(np.int8))
 
     # ------------------------------------------------------------------ #
     def test_end(self) -> dict:

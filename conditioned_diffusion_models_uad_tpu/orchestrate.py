@@ -100,15 +100,16 @@ def evaluate(
             loader = PrefetchLoader(
                 range(len(ds)), lambda i: ds[i], num_threads=2, prefetch=2
             )
-            with ThreadPoolExecutor(max_workers=1) as scorer:
-                pending = None
+            n_workers = max(1, int(cfg.eval.scorer_threads))
+            with ThreadPoolExecutor(max_workers=n_workers) as scorer:
+                pending: list = []
                 for i, sub in enumerate(loader):
                     reco = recon(
                         variables, sub["vol"], jax.random.fold_in(key, i)
                     )
-                    if pending is not None:
-                        pending.result()
-                    pending = scorer.submit(
+                    while len(pending) >= n_workers:
+                        pending.pop(0).result()
+                    pending.append(scorer.submit(
                         session.test_step,
                         reco,
                         sub["vol_orig"],
@@ -117,9 +118,9 @@ def evaluate(
                         i,
                         sub.get("ID", str(i)),
                         sub.get("label", 0),
-                    )
-                if pending is not None:
-                    pending.result()
+                    ))
+                for f in pending:
+                    f.result()
             result = session.test_end()
             if stage == "val":
                 threshold = dict(session.threshold) or None

@@ -296,3 +296,32 @@ def test_resize_trilinear_align_corners():
     np.testing.assert_allclose(out[0, 0, 0], 0.0, atol=1e-6)
     np.testing.assert_allclose(out[-1, 0, 0], 3.0, atol=1e-6)
     np.testing.assert_allclose(out[:, 0, 0], np.linspace(0, 3, 7), atol=1e-6)
+
+
+def test_eval_session_concurrent_scoring_alignment():
+    """test_step commits atomically: with concurrent scorer threads the
+    per-volume rows stay aligned across the eval_dict lists."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(21)
+    cfg = EvalConfig(erode_brainmask=False, median_filtering=False,
+                     scorer_threads=4)
+    sess = EvalSession(cfg, "Brats21", "val")
+
+    def one(i):
+        orig = rng.uniform(0.2, 1.0, size=(24, 24, 6)).astype(np.float32)
+        seg = np.zeros_like(orig); seg[8:16, 8:16, 1:5] = 1
+        reco = orig.copy(); reco[8:16, 8:16, 1:5] -= 0.1 * (i + 1)
+        sess.test_step(reco, orig, seg, np.ones_like(orig), i, f"v{i}", 1)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(one, range(8)))
+    d = sess.test_end()
+    assert len(d["IDs"]) == 8
+    # per-volume alignment: bigger injected residual -> bigger anomaly score;
+    # check the ID ordering matches the score ordering
+    order_by_score = [d["IDs"][k] for k in np.argsort(d["AnomalyScoreRecoPerVol"])]
+    assert order_by_score == [f"v{k}" for k in range(8)]
+    # every per-vol list has exactly one row per volume
+    for k in ("DiceScorePerVol", "AUCPerVol", "HausPerVol", "labelPerVol"):
+        assert len(d[k]) == 8, k
