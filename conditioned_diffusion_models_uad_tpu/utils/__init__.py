@@ -1,4 +1,5 @@
 """Shared runtime utilities."""
+from .convert_torch import convert_reference_unet_state_dict
 from .jax_setup import enable_compilation_cache
 from .profiling import StepTimer, flops_summary, trace
 from .shapes import calc_interres
@@ -6,6 +7,7 @@ from .shapes import calc_interres
 __all__ = [
     "StepTimer",
     "calc_interres",
+    "convert_reference_unet_state_dict",
     "enable_compilation_cache",
     "flops_summary",
     "trace",
