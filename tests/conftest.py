@@ -25,3 +25,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# persistent compile cache: the suite is dominated by XLA CPU compiles of the
+# many small jitted programs; caching makes rerun wall-clock a fraction of the
+# cold run (same helper run.py/bench.py use, scoped to the cpu backend)
+from conditioned_diffusion_models_uad_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

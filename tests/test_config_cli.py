@@ -70,6 +70,17 @@ def test_all_experiments_materialize(monkeypatch, exp, task_cls, cond, patched):
         assert cfg.model.patched == patched
 
 
+def test_test_experiment_is_eval_only(monkeypatch):
+    """The eval-only overlay (reference configs/experiment/cDDPM/test.yaml):
+    flagship model settings with only_eval + checkpoint=best preset."""
+    monkeypatch.setenv("DATA_DIR", "/tmp/x")
+    cfg = materialize(compose(CONFIG_DIR, "cDDPM/test"))
+    assert cfg.only_eval and cfg.checkpoint == "best"
+    assert isinstance(cfg.model, DDPMTaskConfig)
+    assert cfg.model.condition and cfg.model.noise_ensemble
+    assert tuple(cfg.model.step_ensemble) == (250, 500, 750)
+
+
 def test_debug_coercion(monkeypatch):
     monkeypatch.setenv("DATA_DIR", "/tmp/x")
     cfg = materialize(compose(CONFIG_DIR, None, ["debug=true"]))
