@@ -1,7 +1,26 @@
 """JAX runtime setup helpers."""
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU feature set. XLA:CPU AOT results are
+    compiled for the build host's ISA extensions; loading them on a host
+    with a different feature set is flagged by XLA as a potential SIGILL."""
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+
+        flags = platform.processor() or platform.machine()
+    return hashlib.sha256(flags.encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
@@ -12,9 +31,13 @@ def enable_compilation_cache(path: str | None = None) -> None:
     path = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache")
     )
-    # scope by backend: CPU AOT results are host-machine-feature specific and
-    # must not be shared with entries produced for/by other machines
-    path = os.path.join(path, jax.default_backend())
+    # scope by backend; CPU entries additionally by the host's CPU feature
+    # set — CPU AOT results are host-ISA specific and must not be shared
+    # with entries produced on machines with different features
+    backend = jax.default_backend()
+    if backend == "cpu":
+        backend = f"cpu-{_host_fingerprint()}"
+    path = os.path.join(path, backend)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
