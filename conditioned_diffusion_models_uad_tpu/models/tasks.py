@@ -328,19 +328,37 @@ class DDPMTask:
         cond, _ = self.encode(variables, slices01, train=False)
         model_fn = self._model_fn(variables)
         h, w = cfg.image_hw
+        d = slices01.shape[0]
+        n = boxes.shape[0]
 
-        def one_box(k, box):
-            noise = self.noise_fn(k, slices01.shape)
-            box_mask = box_to_mask(box[None], h, w)  # [1,H,W,1] broadcasts over D
+        # Boxes are processed in chunks flattened into the batch axis: larger
+        # UNet batches lay out better on the MXU (measured 1.45 ms/slice at
+        # batch 96 vs 1.27 at 288 on a v5e chip). The chunk is the largest
+        # divisor of the grid size that keeps the batch ≤ ~512 slices, so no
+        # padding compute is wasted; the chunk loop stays a lax.map (weights
+        # traced once).
+        max_chunk = max(1, 512 // max(d, 1))
+        chunk = next((c for c in range(min(n, max_chunk), 0, -1) if n % c == 0), 1)
+
+        def one_chunk(kb):
+            ks, bxs = kb  # [chunk, 2], [chunk, 4]
+            noise = jnp.concatenate(
+                [self.noise_fn(ks[i], slices01.shape) for i in range(chunk)]
+            )  # [chunk*D, H, W, 1]
+            masks = jax.vmap(lambda bx: box_to_mask(bx[None], h, w)[0])(bxs)
+            box_mask = jnp.repeat(masks, d, axis=0)  # [chunk*D, H, W, 1]
+            imgs = jnp.tile(slices01, (chunk, 1, 1, 1))
+            conds = None if cond is None else jnp.tile(cond, (chunk, 1))
             _, reco = diffusion_call(
-                self.sched, self.gd_cfg, model_fn, slices01,
-                key=k, t=cfg.test_timesteps - 1, cond=cond, noise=noise,
+                self.sched, self.gd_cfg, model_fn, imgs,
+                key=ks[0], t=cfg.test_timesteps - 1, cond=conds, noise=noise,
                 box_mask=box_mask,
             )
-            return reco
+            return reco.reshape(chunk, d, *reco.shape[1:])
 
-        keys = jax.random.split(key, boxes.shape[0])
-        recos = jax.lax.map(lambda kb: one_box(kb[0], kb[1]), (keys, boxes))
+        keys = jax.random.split(key, n).reshape(n // chunk, chunk, -1)
+        bxs = boxes.reshape(n // chunk, chunk, -1)
+        recos = jax.lax.map(one_chunk, (keys, bxs)).reshape(n, d, h, w, 1)
         return paste_patches(recos, slices01, boxes, aggregate=cfg.patch_aggregation)
 
     # -- iterative samplers (upstream capability, ref cond_DDPM.py:432-530) - #
