@@ -35,20 +35,24 @@ def main():
     depth = 96  # slices per volume batch (reference folds ~50-100 into batch)
     slices = jax.random.uniform(jax.random.PRNGKey(1), (depth, 96, 96, 1))
 
-    reconstruct = jax.jit(task.reconstruct)
+    # The timed program reduces the reconstruction to one scalar that is
+    # VALUE-FETCHED each iteration: over the tunneled-chip transport,
+    # block_until_ready can return before execution finishes for queued
+    # programs, so only a D2H value fetch is a reliable sync point.
+    reconstruct = jax.jit(
+        lambda v, x, k: task.reconstruct(v, x, k).astype(jnp.float32).sum()
+    )
     key = jax.random.PRNGKey(2)
 
     # compile + warmup
-    reconstruct(variables, slices, key).block_until_ready()
-    reconstruct(variables, slices, key).block_until_ready()
+    float(reconstruct(variables, slices, key))
+    float(reconstruct(variables, slices, key))
 
     # per-iteration timing; median filters out tunnel/dispatch hiccups
     times = []
     for i in range(10):
         t0 = time.perf_counter()
-        reconstruct(
-            variables, slices, jax.random.fold_in(key, i)
-        ).block_until_ready()
+        float(reconstruct(variables, slices, jax.random.fold_in(key, i)))
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]

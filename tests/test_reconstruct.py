@@ -40,6 +40,36 @@ def test_reconstructor_center_crop(task_and_vars):
     assert out.shape == (32, 32, 4)  # the center-cropped depth (ref :193-203)
 
 
+def test_flattened_ensemble_matches_per_member_average(task_and_vars):
+    """`reconstruct` flattens the t-ensemble into the batch axis (one UNet
+    call at batch E*D, reference DDPM_2D.py:225-239); its output must equal
+    the explicit per-member average with the same key-split discipline."""
+    import jax.numpy as jnp
+
+    from conditioned_diffusion_models_uad_tpu.diffusion import diffusion_call
+
+    task, v = task_and_vars
+    slices = jax.random.uniform(jax.random.PRNGKey(7), (6, 32, 32, 1))
+    key = jax.random.PRNGKey(8)
+
+    out = jax.jit(task.reconstruct)(v, slices, key)
+
+    cond, _ = task.encode(v, slices, train=False)
+    model_fn = task._model_fn(v)
+    members = []
+    for t, k in zip(task.cfg.step_ensemble,
+                    jax.random.split(key, len(task.cfg.step_ensemble))):
+        noise = task.noise_fn(k, slices.shape)
+        _, reco = diffusion_call(
+            task.sched, task.gd_cfg, model_fn, slices,
+            key=k, t=t - 1, cond=cond, noise=noise,
+        )
+        members.append(reco)
+    expected = jnp.stack(members).mean(axis=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_reconstructor_mesh_sharded(task_and_vars):
     """Depth-as-batch sharded over the 8-device mesh; identical shape/finite
     output, depth padded to a multiple of the mesh size."""
