@@ -34,14 +34,33 @@ def trace(logdir: str = "/tmp/jax-trace", with_memory: bool = True):
 
 class StepTimer:
     """Accurate device-step timing: call `lap(result)` per step; the result is
-    blocked on, so each lap measures real device time + dispatch."""
+    synced on, so each lap measures real device time + dispatch.
 
-    def __init__(self):
+    ``sync='fetch'`` (default) pulls one element of the result to host — on
+    tunneled/remote device transports (axon), ``block_until_ready`` can return
+    once a queued program is acknowledged rather than executed, so only a D2H
+    value fetch is a reliable sync point. ``sync='block'`` restores the plain
+    ``block_until_ready`` behavior for local devices."""
+
+    def __init__(self, sync: str = "fetch"):
         self.times: list = []
+        self.sync = sync
+
+    @staticmethod
+    def _fetch_one(result) -> None:
+        leaves = jax.tree_util.tree_leaves(result)
+        for leaf in leaves:
+            if hasattr(leaf, "addressable_shards") or hasattr(leaf, "devices"):
+                np.asarray(jax.device_get(jax.numpy.ravel(leaf)[:1]))
+                return
+        jax.block_until_ready(result)
 
     def lap(self, result=None):
         if result is not None:
-            jax.block_until_ready(result)
+            if self.sync == "fetch":
+                self._fetch_one(result)
+            else:
+                jax.block_until_ready(result)
         now = time.perf_counter()
         if hasattr(self, "_last"):
             self.times.append(now - self._last)
