@@ -27,26 +27,30 @@ import jax.numpy as jnp
 import numpy as np
 
 # -----------------------------------------------------------------------------
-# crop or pad (host-side numpy: runs once per volume, shapes are dynamic here
-# by nature — this is the boundary that makes everything downstream static)
+# crop or pad. Works on host numpy arrays AND under jit tracing: input shapes
+# are static at trace time, so the crop/pad bounds are Python ints either way
+# — this is the boundary that makes everything downstream static.
 # -----------------------------------------------------------------------------
 
 
-def crop_or_pad(vol: np.ndarray, target: tuple, pad_value: float = 0.0) -> np.ndarray:
+def crop_or_pad(vol, target: tuple, pad_value: float = 0.0):
     """Center crop/pad to `target` (tio.CropOrPad semantics: the excess is
     split in half with the extra voxel going to the LEADING side — torchio's
     `ini, fin = ceil(half), floor(half)` bounds)."""
+    xp = np if isinstance(vol, np.ndarray) else jnp
     out = vol
     for ax, tgt in enumerate(target):
         size = out.shape[ax]
         if size > tgt:
             lo = -(-(size - tgt) // 2)  # ceil: extra cropped from the front
-            out = np.take(out, np.arange(lo, lo + tgt), axis=ax)
+            sl = [slice(None)] * out.ndim
+            sl[ax] = slice(lo, lo + tgt)
+            out = out[tuple(sl)]
         elif size < tgt:
             lo = -(-(tgt - size) // 2)  # ceil: extra padded at the front
             pads = [(0, 0)] * out.ndim
             pads[ax] = (lo, tgt - size - lo)
-            out = np.pad(out, pads, constant_values=pad_value)
+            out = xp.pad(out, pads, constant_values=pad_value)
     return out
 
 

@@ -79,6 +79,30 @@ def test_load_subject_shapes(data_root):
     assert sub["label"] == 0 and not sub["seg_available"]
 
 
+def test_device_preprocess_matches_host(data_root):
+    """preprocess_backend='device' (one fused jit, device-resident outputs)
+    must reproduce the host path bit-for-bit-close: same op order, same
+    transforms (create_dataset.py:196-258)."""
+    import dataclasses as dc
+
+    import jax
+
+    cfg_h = _cfg(data_root)
+    cfg_d = dc.replace(cfg_h, preprocess_backend="device")
+    ixi = IXI(cfg_h, fold=0)
+    for row in (ixi.csv["train"].iloc[0], ixi.csv["test"].iloc[0]):
+        host = load_subject(row, cfg_h, keep_orig=True)
+        dev = load_subject(row, cfg_d, keep_orig=True)
+        assert isinstance(dev["vol"], jax.Array)
+        for k in ("vol", "mask", "vol_orig", "mask_orig", "seg_orig"):
+            np.testing.assert_allclose(
+                np.asarray(dev[k]), np.asarray(host[k]), rtol=1e-5, atol=1e-5,
+                err_msg=k,
+            )
+        assert dev["seg_available"] == host["seg_available"]
+        assert ("seg" in dev) == ("seg" in host)
+
+
 def test_train_slice_source_epoch(data_root):
     cfg = _cfg(data_root)
     ixi = IXI(cfg, fold=0)
