@@ -98,9 +98,7 @@ def _host_jax():
 
 
 def _read_image(path: str, cfg: DataConfig, is_label: bool) -> np.ndarray:
-    vol, _ = read_nifti(path)
-    if vol.ndim == 4:
-        vol = vol[..., 0]
+    vol = _read_raw(path)
     if not is_label and cfg.use_curvature_flow:
         with _host_jax():
             vol = np.asarray(curvature_flow(jnp.asarray(vol)))
@@ -152,25 +150,28 @@ def _preprocess_subject_fused(
     return out
 
 
+def _read_raw(path: str) -> np.ndarray:
+    """Raw NIfTI read (no smoothing): shared by the host `_read_image` path
+    and the device-fused path; 4D volumes keep their first channel."""
+    vol, _ = read_nifti(path)
+    if vol.ndim == 4:
+        vol = vol[..., 0]
+    return vol
+
+
 def _load_subject_device(row, cfg: DataConfig, keep_orig: bool) -> dict:
     """Device-fused variant of `load_subject`: raw NIfTI reads on host, one
     H2D upload, one fused jit, device-resident jax.Array outputs."""
-    vol, _ = read_nifti(row["img_path"])
-    if vol.ndim == 4:
-        vol = vol[..., 0]
+    vol = _read_raw(row["img_path"])
     has_mask = isinstance(row.get("mask_path", None), str) and bool(row["mask_path"])
     if has_mask:
-        mask, _ = read_nifti(row["mask_path"])
-        if mask.ndim == 4:
-            mask = mask[..., 0]
+        mask = _read_raw(row["mask_path"])
     else:
         mask = np.zeros((1, 1, 1), np.float32)  # placeholder; derived from vol
     seg_path = row.get("seg_path", None)
     seg_available = isinstance(seg_path, str) and bool(seg_path)
     if seg_available:
-        seg = read_nifti(seg_path)[0]
-        if seg.ndim == 4:
-            seg = seg[..., 0]
+        seg = _read_raw(seg_path)
     else:
         seg = np.zeros((1, 1, 1), np.float32)
 
@@ -202,8 +203,13 @@ def load_subject(
     keep_orig: bool = False,
 ) -> dict:
     """Read + preprocess one subject into numpy arrays [H, W, D] (or
-    device-resident jax.Arrays when cfg.preprocess_backend == 'device')."""
-    if cfg.preprocess_backend == "device":
+    device-resident jax.Arrays when cfg.preprocess_backend == 'device').
+
+    The device backend applies only to eval subjects (keep_orig): the training
+    set is stacked into one host array before its one-time upload to the
+    device-resident TrainSliceSource, so device-mode training loads would be a
+    pure D2H/H2D round-trip loss on a tunneled chip."""
+    if cfg.preprocess_backend == "device" and keep_orig:
         return _load_subject_device(row, cfg, keep_orig)
     vol = _read_image(row["img_path"], cfg, is_label=False)
     if isinstance(row.get("mask_path", None), str) and row["mask_path"]:

@@ -4,8 +4,9 @@ The reference evaluates one volume at a time by folding depth into the batch
 axis and running the diffusion denoise on all slices at once
 (reference src/models/DDPM_2D.py:193-257). Here that depth-as-batch axis is
 *sharded across the TPU mesh* — each core denoises a contiguous stack of
-slices with replicated weights; the t-ensemble is an extra vmapped axis so the
-whole volume × ensemble reconstruction is one compiled program.
+slices with replicated weights; the t-ensemble is flattened into the same
+batch axis (models/tasks.py::reconstruct) so the whole volume × ensemble
+reconstruction is one compiled program.
 
 Depth is padded to a fixed bucket (edge-replicated slices) so volumes of
 different depth reuse one compiled executable (SURVEY.md §7 'dynamic shapes').
@@ -57,16 +58,21 @@ class VolumeReconstructor:
         else:
             self._reconstruct = jax.jit(fn)
 
-    def __call__(self, variables, vol_hwd: np.ndarray, key) -> np.ndarray:
-        vol = np.asarray(vol_hwd, dtype=np.float32)
+    def __call__(self, variables, vol_hwd, key) -> jax.Array:
+        """vol_hwd may be host numpy or a device-resident jax.Array
+        (preprocess_backend='device'); neither incurs a D2H round trip —
+        the reconstruction is returned as a device array and fetched only
+        where host metrics actually need values."""
+        host = isinstance(vol_hwd, np.ndarray)
+        xp = np if host else jnp
+        vol = xp.asarray(vol_hwd, dtype=xp.float32)
         if self.num_eval_slices is not None and self.num_eval_slices < vol.shape[-1]:
             start = (vol.shape[-1] - self.num_eval_slices) // 2
             vol = vol[..., start : start + self.num_eval_slices]
         d = vol.shape[-1]
 
-        slices = np.moveaxis(vol, -1, 0)[..., None]  # [D, H, W, 1]
+        slices = xp.moveaxis(vol, -1, 0)[..., None]  # [D, H, W, 1]
         slices, _ = pad_to_multiple(slices, self.depth_multiple, axis=0)
 
         reco = self._reconstruct(variables, jnp.asarray(slices), key)
-        reco = np.asarray(jax.device_get(reco))[:d, ..., 0]
-        return np.moveaxis(reco, 0, -1)  # [H, W, D]
+        return jnp.moveaxis(reco[:d, ..., 0], 0, -1)  # [H, W, D]

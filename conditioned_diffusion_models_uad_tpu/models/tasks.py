@@ -253,8 +253,8 @@ class DDPMTask:
         optional noise-ensemble averaged over t ∈ step_ensemble
         (reference test_step, DDPM_2D.py:209-248). Returns [D, H, W, 1] in [0,1].
 
-        The ensemble axis is vmapped — all |ensemble| denoise passes run as one
-        batched UNet call instead of a Python loop."""
+        The ensemble axis is flattened into the batch axis — all |ensemble|
+        denoise passes run as ONE UNet call at batch E*D (see below)."""
         cfg = self.cfg
         cond, _ = self.encode(variables, slices01, train=False)
         model_fn = self._model_fn(variables)
@@ -295,7 +295,7 @@ class DDPMTask:
                 jnp.asarray([t - 1 for t in cfg.step_ensemble], jnp.int32), d
             )
             imgs = jnp.tile(slices01, (e, 1, 1, 1))
-            conds = jnp.tile(cond, (e, 1))
+            conds = None if cond is None else jnp.tile(cond, (e, 1))
             _, reco = diffusion_call(
                 self.sched, self.gd_cfg, model_fn, imgs,
                 key=key, t=t_vec, cond=conds, noise=noises,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -34,17 +35,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
+def pad_to_multiple(x, multiple: int, axis: int = 0):
     """Pad `axis` up to a multiple (edge-replicate) so a batch divides evenly
     across the mesh; returns (padded, original_size). Keeps jitted shapes
-    static across volumes of different depth (SURVEY.md §7 'dynamic shapes')."""
+    static across volumes of different depth (SURVEY.md §7 'dynamic shapes').
+    Works on host numpy arrays and device jax.Arrays alike."""
     n = x.shape[axis]
     target = ((n + multiple - 1) // multiple) * multiple
     if target == n:
         return x, n
     pad = [(0, 0)] * x.ndim
     pad[axis] = (0, target - n)
-    return np.pad(x, pad, mode="edge"), n
+    xp = np if isinstance(x, np.ndarray) else jnp
+    return xp.pad(x, pad, mode="edge"), n
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:

@@ -48,12 +48,17 @@ class StepTimer:
 
     @staticmethod
     def _fetch_one(result) -> None:
-        leaves = jax.tree_util.tree_leaves(result)
-        for leaf in leaves:
-            if hasattr(leaf, "addressable_shards") or hasattr(leaf, "devices"):
+        """Force a D2H value fetch of one element of EVERY device leaf: leaves
+        can come from different dispatches, and fetching only the first (or an
+        already-materialized one) would let queued programs keep running."""
+        fetched = False
+        for leaf in jax.tree_util.tree_leaves(result):
+            if (hasattr(leaf, "addressable_shards") or hasattr(leaf, "devices")) \
+                    and getattr(leaf, "size", 0) > 0:
                 np.asarray(jax.device_get(jax.numpy.ravel(leaf)[:1]))
-                return
-        jax.block_until_ready(result)
+                fetched = True
+        if not fetched:
+            jax.block_until_ready(result)
 
     def lap(self, result=None):
         if result is not None:

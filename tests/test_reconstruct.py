@@ -70,6 +70,19 @@ def test_flattened_ensemble_matches_per_member_average(task_and_vars):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_flattened_ensemble_unconditional():
+    """The flattened path must handle cond=None (unconditional DDPM with a
+    noise ensemble, e.g. `model.condition=false` on an ensemble config)."""
+    cfg = dict(TINY)
+    cfg["condition"] = False
+    task = DDPMTask(DDPMTaskConfig(**cfg))
+    v = task.init(jax.random.PRNGKey(0))
+    slices = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 1))
+    out = jax.jit(task.reconstruct)(v, slices, jax.random.PRNGKey(2))
+    assert out.shape == slices.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_reconstructor_mesh_sharded(task_and_vars):
     """Depth-as-batch sharded over the 8-device mesh; identical shape/finite
     output, depth padded to a multiple of the mesh size."""
