@@ -87,14 +87,22 @@ def test_e2e_only_eval_reuses_checkpoint(data_root, tmp_path, monkeypatch):
     base = TINY_OVERRIDES + ["name=smoke_cddpm2", "datamodule.testsets=[Brats21]"]
     tree = compose(CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D", base)
     cfg = materialize(tree)
-    train(cfg)
+    first = train(cfg)
 
+    # only_eval reload, with the device-fused preprocessing backend: the whole
+    # orchestrated eval (device-resident subjects -> reconstructor -> scoring)
+    # must reproduce the training run's eval metrics
     tree2 = compose(
-        CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D", base + ["only_eval=true"]
+        CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D",
+        base + ["only_eval=true", "datamodule.preprocess_backend=device"],
     )
     cfg2 = materialize(tree2)
     results = train(cfg2)
-    assert np.isfinite(results[0]["test"]["Brats21"]["DicePerVolMean"])
+    got = results[0]["test"]["Brats21"]["DicePerVolMean"]
+    assert np.isfinite(got)
+    np.testing.assert_allclose(
+        got, first[0]["test"]["Brats21"]["DicePerVolMean"], rtol=1e-4
+    )
 
 
 def test_e2e_healthy_ixi_testset(data_root, tmp_path, monkeypatch):
