@@ -96,6 +96,7 @@ class DDPMTaskConfig:
     attention_resolutions: Sequence[int] = (3, 6, 12)
     spatial_transformer: bool = False  # cross-attn conditioning (ref :31)
     use_checkpoint: bool = False  # per-ResBlock remat (ref DDPM_2D_patched.py:34)
+    dropout_unet: float = 0.0  # ResBlock dropout (ref DDPM_2D.py:44, default 0)
     dtype: str = "bfloat16"
     # optimizer (reference Adam(lr), DDPM_2D.py:305-306)
     lr: float = 1e-4
@@ -112,6 +113,7 @@ class DDPMTaskConfig:
             cond_dim=self.cond_dim if self.condition else None,
             spatial_transformer=self.spatial_transformer,
             use_checkpoint=self.use_checkpoint,
+            dropout=self.dropout_unet,
             dtype=self.dtype,
         )
 
@@ -194,9 +196,18 @@ class DDPMTask:
         cond = self.encoder.apply(ev, x01, train=False)
         return cond, variables["batch_stats"]["encoder"]
 
-    def _model_fn(self, variables: Variables):
+    def _model_fn(self, variables: Variables, *, train: bool = False,
+                  dropout_key: Optional[jax.Array] = None):
+        """UNet closure. `train` + `dropout_key` activate ResBlock dropout
+        (reference dropout_unet knob, DDPM_2D.py:44; default 0 = inert)."""
+        use_dropout = train and self.cfg.dropout_unet > 0 and dropout_key is not None
+
         def fn(x, t, cond):
-            return self.unet.apply({"params": variables["params"]["unet"]}, x, t, cond)
+            return self.unet.apply(
+                {"params": variables["params"]["unet"]}, x, t, cond,
+                deterministic=not use_dropout,
+                rngs={"dropout": dropout_key} if use_dropout else None,
+            )
 
         return fn
 
@@ -214,7 +225,7 @@ class DDPMTask:
         (loss, (new_batch_stats, aux)) with aux = {'reco': [B,H,W,1]}."""
         cfg = self.cfg
         x01 = batch["vol"].astype(jnp.float32)
-        k_enc, k_noise, k_diff, k_box = jax.random.split(key, 4)
+        k_enc, k_noise, k_diff, k_box, k_drop = jax.random.split(key, 5)
 
         cond, enc_stats = self.encode(variables, x01, train=train)
 
@@ -230,7 +241,7 @@ class DDPMTask:
         loss, reco = diffusion_call(
             self.sched,
             self.gd_cfg,
-            self._model_fn(variables),
+            self._model_fn(variables, train=train, dropout_key=k_drop),
             x01,
             key=k_diff,
             cond=cond,
