@@ -149,8 +149,12 @@ def p_losses(
     key: Optional[jax.Array] = None,
     box_mask: Optional[jax.Array] = None,  # [B,H,W,1] bool: True inside patch
     brain_mask: Optional[jax.Array] = None,  # [B,H,W,C]
+    reduce: bool = True,
 ):
-    """Training/eval objective. Returns (scalar loss, reconstruction in [0,1])."""
+    """Training/eval objective. Returns (scalar loss, reconstruction in [0,1]);
+    with ``reduce=False`` the loss is the per-sample [B] vector (used by the
+    eval path to reconstruct the reference's per-volume loss scalars,
+    ref DDPM_2D.py:267-272, from a padded/flattened slice batch)."""
     if noise is None:
         noise = jax.random.normal(key, x_start.shape, dtype=jnp.float32)
     noise = noise.astype(jnp.float32)
@@ -177,7 +181,7 @@ def p_losses(
     per_pixel = jnp.abs(err) if cfg.loss_type == "l1" else err**2
     per_sample = per_pixel.reshape(per_pixel.shape[0], -1).mean(axis=1)
     per_sample = per_sample * jnp.take(sched.p2_loss_weight, t, axis=0)
-    loss = per_sample.mean()
+    loss = per_sample.mean() if reduce else per_sample
 
     if cfg.objective == "pred_noise":
         nd = x_start.ndim
@@ -201,6 +205,7 @@ def diffusion_call(
     noise: Optional[jax.Array] = None,
     box_mask: Optional[jax.Array] = None,
     brain_mask: Optional[jax.Array] = None,
+    reduce: bool = True,
 ):
     """The reference's `GaussianDiffusion.forward` (cond_DDPM.py:647-655):
     draw uniform random t (training) or broadcast a fixed t (testing),
@@ -214,7 +219,7 @@ def diffusion_call(
     x_start = normalize_to_neg_one_to_one(img01.astype(jnp.float32))
     return p_losses(
         sched, cfg, model_fn, x_start, t_vec, cond=cond, noise=noise,
-        key=n_key, box_mask=box_mask, brain_mask=brain_mask,
+        key=n_key, box_mask=box_mask, brain_mask=brain_mask, reduce=reduce,
     )
 
 

@@ -147,7 +147,14 @@ class EvalSession:
         batch_idx: int = 0,
         ID: str = "",
         label_vol: int = 0,
+        aux: Optional[dict] = None,  # model-side eval scalars, see below
     ) -> None:
+        """`aux` carries the model-forward eval scalars the reference's task
+        modules record before delegating to _test_step (DDPM_2D.py:214-280,
+        Spark_2D.py:86-112): 'loss' (device scalar — the diffusion/MIM eval
+        loss), 'latent' (slice-mean conditioning features or None), and
+        'score_fn' (task.anomaly_scores: loss -> the AnomalyScore*PerVol
+        family used when use_postprocessed_score is off)."""
         cfg = self.cfg
         final_volume = jnp.asarray(final_volume, dtype=jnp.float32)
         if not cfg.resized_evaluation and final_volume.shape != data_orig.shape:
@@ -292,6 +299,34 @@ class EvalSession:
                     ("labelPerSlice", "extend", slice_labels),
                     ("AnomalyScoreRecoPerSlice", "extend", slice_scores.tolist()),
                 ])
+
+        # model-forward scalars (ref DDPM_2D.py:214-223,267-280)
+        if aux is not None:
+            lat = aux.get("latent")
+            if lat is not None:
+                rec.append(("latentSpace", "append", np.asarray(lat)))
+            loss_v = aux.get("loss")
+            if loss_v is not None:
+                loss_v = float(np.asarray(loss_v))
+                score_fn = aux.get("score_fn") or (
+                    lambda l: {k: l for k in
+                               ("reco", "reg", "comb", "combi",
+                                "comb_prior", "combi_prior")}
+                )
+                scores = score_fn(loss_v)
+                rec.append(("AnomalyScoreRegPerVol", "append", scores["reg"]))
+                if not cfg.use_postprocessed_score:
+                    # score volumes by the model loss instead of the residual
+                    # (ref DDPM_2D.py:276-280)
+                    rec.extend([
+                        ("AnomalyScoreRecoPerVol", "append", scores["reco"]),
+                        ("AnomalyScoreCombPerVol", "append", scores["comb"]),
+                        ("AnomalyScoreCombiPerVol", "append", scores["combi"]),
+                        ("AnomalyScoreCombPriorPerVol", "append",
+                         scores["comb_prior"]),
+                        ("AnomalyScoreCombiPriorPerVol", "append",
+                         scores["combi_prior"]),
+                    ])
 
         # sample-wise anomaly scores (ref :185-194)
         if cfg.use_postprocessed_score:

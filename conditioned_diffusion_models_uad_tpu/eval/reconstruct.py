@@ -43,26 +43,40 @@ class VolumeReconstructor:
         self.num_eval_slices = num_eval_slices
         base = mesh.devices.size if mesh is not None else 1
         self.depth_multiple = max(depth_bucket, base) // base * base
-        fn = task.reconstruct_patched if patched else task.reconstruct
+        fn = (
+            task.reconstruct_patched_with_aux if patched
+            else task.reconstruct_with_aux
+        )
 
         if mesh is not None:
+            shb = batch_sharding(mesh)
             self._reconstruct = jax.jit(
                 fn,
                 in_shardings=(
                     replicated_sharding(mesh),
-                    batch_sharding(mesh),
+                    shb,
                     replicated_sharding(mesh),
                 ),
-                out_shardings=batch_sharding(mesh),
+                # reco + both aux leaves are [D, ...] slice-axis arrays
+                out_shardings=(
+                    shb,
+                    {"loss_per_slice": shb, "latent_per_slice": shb},
+                ),
             )
         else:
             self._reconstruct = jax.jit(fn)
 
-    def __call__(self, variables, vol_hwd, key) -> jax.Array:
+    def __call__(self, variables, vol_hwd, key, return_aux: bool = False):
         """vol_hwd may be host numpy or a device-resident jax.Array
         (preprocess_backend='device'); neither incurs a D2H round trip —
         the reconstruction is returned as a device array and fetched only
-        where host metrics actually need values."""
+        where host metrics actually need values.
+
+        With ``return_aux=True`` also returns {'loss', 'latent'} as device
+        arrays — the per-volume eval-forward scalars (diffusion loss of the
+        last ensemble member, slice-mean conditioning features) reduced over
+        the TRUE depth (padding slices excluded, matching the reference's
+        unpadded batch, DDPM_2D.py:251-278)."""
         host = isinstance(vol_hwd, np.ndarray)
         xp = np if host else jnp
         vol = xp.asarray(vol_hwd, dtype=xp.float32)
@@ -74,5 +88,12 @@ class VolumeReconstructor:
         slices = xp.moveaxis(vol, -1, 0)[..., None]  # [D, H, W, 1]
         slices, _ = pad_to_multiple(slices, self.depth_multiple, axis=0)
 
-        reco = self._reconstruct(variables, jnp.asarray(slices), key)
-        return jnp.moveaxis(reco[:d, ..., 0], 0, -1)  # [H, W, D]
+        reco, aux = self._reconstruct(variables, jnp.asarray(slices), key)
+        reco_hwd = jnp.moveaxis(reco[:d, ..., 0], 0, -1)  # [H, W, D]
+        if not return_aux:
+            return reco_hwd
+        latent = aux["latent_per_slice"]
+        return reco_hwd, {
+            "loss": aux["loss_per_slice"][:d].mean(),
+            "latent": latent[:d].mean(axis=0) if latent.shape[-1] else None,
+        }

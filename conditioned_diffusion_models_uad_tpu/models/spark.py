@@ -267,10 +267,14 @@ class SparKModel(nn.Module):
         return reco.astype(jnp.float32)
 
 
-def spark_spatial_loss(cfg: SparKConfig, inp, rec, active):
+def spark_spatial_loss(cfg: SparKConfig, inp, rec, active, per_sample: bool = False):
     """Patch-space reconstruction loss (reference spatial_loss,
     spark/Spark_2D.py:180-199): optional per-patch pixel normalization, L2/L1,
-    mean over masked patches (or all patches when dense_loss)."""
+    mean over masked patches (or all patches when dense_loss).
+
+    ``per_sample=True`` returns a [B] vector (masked-patch mean per slice) for
+    the eval path, where the padded depth axis must be cropped before the
+    volume reduction (ref Spark_2D.py:86-100 scores the true slice stack)."""
     p = cfg.downsample_ratio
     inp_p = patchify(inp.astype(jnp.float32), p)
     rec_p = patchify(rec.astype(jnp.float32), p)
@@ -283,7 +287,9 @@ def spark_spatial_loss(cfg: SparKConfig, inp, rec, active):
         inp_p = (inp_p - mean) / var
     err = (rec_p - inp_p) ** 2 if cfg.loss_l2 else jnp.abs(rec_p - inp_p)
     if cfg.dense_loss:
-        return err.mean()
+        return err.mean(axis=(1, 2)) if per_sample else err.mean()
     per_patch = err.mean(axis=2)  # [B, L]
     non_active = 1.0 - active.reshape(active.shape[0], -1).astype(jnp.float32)
+    if per_sample:
+        return (per_patch * non_active).sum(axis=1) / (non_active.sum(axis=1) + 1e-8)
     return (per_patch * non_active).sum() / (non_active.sum() + 1e-8)

@@ -260,20 +260,49 @@ class DDPMTask:
         slices01: jax.Array,  # [D, H, W, 1] volume with depth folded into batch
         key: jax.Array,
     ) -> jax.Array:
+        """Single-shot reconstruction of a slice stack at fixed t (see
+        `reconstruct_with_aux`). Returns [D, H, W, 1] in [0,1]."""
+        return self.reconstruct_with_aux(variables, slices01, key)[0]
+
+    def reconstruct_with_aux(
+        self,
+        variables: Variables,
+        slices01: jax.Array,  # [D, H, W, 1] volume with depth folded into batch
+        key: jax.Array,
+    ):
         """Single-shot reconstruction of a slice stack at fixed t, with the
         optional noise-ensemble averaged over t ∈ step_ensemble
-        (reference test_step, DDPM_2D.py:209-248). Returns [D, H, W, 1] in [0,1].
+        (reference test_step, DDPM_2D.py:209-248). Returns (reco, aux):
+        reco [D, H, W, 1] in [0,1], and aux carrying the eval-forward scalars
+        the reference logs per volume —
+        * 'loss_per_slice' [D]: the diffusion loss per slice of the LAST
+          ensemble member (the reference's ensemble loop overwrites loss_diff
+          each t, DDPM_2D.py:225-239, so only t=step_ensemble[-1] survives
+          into AnomalyScore{Comb,Reg,Reco}, :251-254,267-280);
+        * 'latent_per_slice' [D, cond_dim]: the conditioning features
+          (latentSpace, :214-223; zeros column when unconditional, :222-223).
 
-        The ensemble axis is flattened into the batch axis — all |ensemble|
+        The ensemble axis is FLATTENED into the batch axis — all |ensemble|
         denoise passes run as ONE UNet call at batch E*D (see below)."""
         cfg = self.cfg
+        d = slices01.shape[0]
         cond, _ = self.encode(variables, slices01, train=False)
         model_fn = self._model_fn(variables)
+        latent = (
+            cond.astype(jnp.float32)
+            if cond is not None
+            else jnp.zeros((d, 1), jnp.float32)
+        )
 
         if cfg.reco_mode != "single_shot":
             # truncated iterative reverse sampling: noise the volume to
             # t=test_timesteps with the configured noise source, then run the
-            # full ancestral chain (or DDIM) back to x_0 as one lax.scan
+            # full ancestral chain (or DDIM) back to x_0 as one lax.scan.
+            # No single diffusion loss exists on this path — NaN sentinel.
+            aux = {
+                "loss_per_slice": jnp.full((d,), jnp.nan, jnp.float32),
+                "latent_per_slice": latent,
+            }
             x_start = normalize_to_neg_one_to_one(slices01.astype(jnp.float32))
             if cfg.reco_mode == "ddim":
                 return ddim_sample(
@@ -281,12 +310,12 @@ class DDPMTask:
                     sampling_timesteps=cfg.sampling_steps, cond=cond,
                     start_t=cfg.test_timesteps, x_start=x_start,
                     noise_fn=self.noise_fn,
-                )
+                ), aux
             return p_sample_loop(
                 self.sched, self.gd_cfg, model_fn, slices01.shape, key=key,
                 cond=cond, start_t=cfg.test_timesteps, x_start=x_start,
                 noise_fn=self.noise_fn,
-            )
+            ), aux
 
         if cfg.noise_ensemble and len(cfg.step_ensemble) > 0:
             # The ensemble axis is FLATTENED into the batch axis (one UNet call
@@ -297,7 +326,6 @@ class DDPMTask:
             # reference DDPM_2D.py:225-239) and are generated outside the hot
             # call (the Pallas kernel takes its seed through SMEM).
             e = len(cfg.step_ensemble)
-            d = slices01.shape[0]
             keys = jax.random.split(key, e)
             noises = jnp.concatenate(
                 [self.noise_fn(k, slices01.shape) for k in keys]
@@ -307,18 +335,37 @@ class DDPMTask:
             )
             imgs = jnp.tile(slices01, (e, 1, 1, 1))
             conds = None if cond is None else jnp.tile(cond, (e, 1))
-            _, reco = diffusion_call(
+            loss_ps, reco = diffusion_call(
                 self.sched, self.gd_cfg, model_fn, imgs,
-                key=key, t=t_vec, cond=conds, noise=noises,
+                key=key, t=t_vec, cond=conds, noise=noises, reduce=False,
             )
-            return reco.reshape(e, d, *reco.shape[1:]).mean(axis=0)
+            aux = {
+                "loss_per_slice": loss_ps.reshape(e, d)[-1],
+                "latent_per_slice": latent,
+            }
+            return reco.reshape(e, d, *reco.shape[1:]).mean(axis=0), aux
 
         noise = self.noise_fn(key, slices01.shape)
-        _, reco = diffusion_call(
+        loss_ps, reco = diffusion_call(
             self.sched, self.gd_cfg, model_fn, slices01,
             key=key, t=cfg.test_timesteps - 1, cond=cond, noise=noise,
+            reduce=False,
         )
-        return reco
+        return reco, {"loss_per_slice": loss_ps, "latent_per_slice": latent}
+
+    def anomaly_scores(self, loss: float) -> dict:
+        """Volume anomaly scores derived from the eval diffusion loss when
+        `use_postprocessed_score` is off (reference DDPM_2D.py:251-254,267-280:
+        Comb = Reg = Reco = loss_diff; Combi = Reco·Reg; CombPrior = Reco + β·0;
+        CombiPrior = Reco·0)."""
+        return {
+            "reco": loss,
+            "reg": loss,
+            "comb": loss,
+            "combi": loss * loss,
+            "comb_prior": loss,
+            "combi_prior": 0.0,
+        }
 
     def reconstruct_patched(
         self,
@@ -326,10 +373,24 @@ class DDPMTask:
         slices01: jax.Array,  # [D, H, W, 1]
         key: jax.Array,
     ) -> jax.Array:
+        """pDDPM grid eval (see `reconstruct_patched_with_aux`)."""
+        return self.reconstruct_patched_with_aux(variables, slices01, key)[0]
+
+    def reconstruct_patched_with_aux(
+        self,
+        variables: Variables,
+        slices01: jax.Array,  # [D, H, W, 1]
+        key: jax.Array,
+    ):
         """pDDPM eval: denoise each grid patch with the rest of the image clean,
         then paste the patch reconstructions together (reference
         DDPM_2D_patched.py:173-216). The grid is static; the per-box passes run
-        under one `lax.scan` (weights are traced once)."""
+        under one `lax.scan` (weights are traced once).
+
+        aux mirrors the reference's patched scalars: 'loss_per_slice' is the
+        LAST grid box's diffusion loss (the box loop overwrites loss_diff,
+        ref :188,219-221) and 'latent_per_slice' is the zeros dummy
+        (ref :171)."""
         cfg = self.cfg
         if cfg.grid_boxes_eval == "cut":
             boxes_np = grid_boxes_cut(cfg.image_hw, cfg.patch_hw)
@@ -360,17 +421,25 @@ class DDPMTask:
             box_mask = jnp.repeat(masks, d, axis=0)  # [chunk*D, H, W, 1]
             imgs = jnp.tile(slices01, (chunk, 1, 1, 1))
             conds = None if cond is None else jnp.tile(cond, (chunk, 1))
-            _, reco = diffusion_call(
+            loss_ps, reco = diffusion_call(
                 self.sched, self.gd_cfg, model_fn, imgs,
                 key=ks[0], t=cfg.test_timesteps - 1, cond=conds, noise=noise,
-                box_mask=box_mask,
+                box_mask=box_mask, reduce=False,
             )
-            return reco.reshape(chunk, d, *reco.shape[1:])
+            return reco.reshape(chunk, d, *reco.shape[1:]), loss_ps.reshape(chunk, d)[-1]
 
         keys = jax.random.split(key, n).reshape(n // chunk, chunk, -1)
         bxs = boxes.reshape(n // chunk, chunk, -1)
-        recos = jax.lax.map(one_chunk, (keys, bxs)).reshape(n, d, h, w, 1)
-        return paste_patches(recos, slices01, boxes, aggregate=cfg.patch_aggregation)
+        recos, loss_last = jax.lax.map(one_chunk, (keys, bxs))
+        recos = recos.reshape(n, d, h, w, 1)
+        aux = {
+            "loss_per_slice": loss_last[-1],  # last grid box (ref :188,219)
+            "latent_per_slice": jnp.zeros((d, 1), jnp.float32),
+        }
+        return (
+            paste_patches(recos, slices01, boxes, aggregate=cfg.patch_aggregation),
+            aux,
+        )
 
     # -- iterative samplers (upstream capability, ref cond_DDPM.py:432-530) - #
     def sample(
@@ -424,6 +493,10 @@ class SparkTaskConfig:
     loss_l2: bool = True
     loss_on_mask: bool = True
     mask_loss_weight: float = 1.0  # δ in full-L1 + δ·masked (ref Spark_2D.py:26-32)
+    # eval scoring when loss_on_mask is off: L1_AE recon_error + delta_mask ·
+    # masked loss (reference Spark_2D.forward, Spark_2D.py:26-33)
+    delta_mask: float = 0.0
+    loss_strategy: str = "sum"  # L1_AE 'sum' | 'mean' (ref cfg.lossStrategy)
     use_pos_emb: bool = False
     dtype: str = "bfloat16"
     # optimizer (reference AdamW(lr, wd .05, betas .9/.95), Spark_2D.py:123-124)
@@ -516,11 +589,50 @@ class SparkTask:
     def reconstruct(
         self, variables: Variables, slices01: jax.Array, key: jax.Array
     ) -> jax.Array:
+        """Volume slice-stack reconstruction (see `reconstruct_with_aux`)."""
+        return self.reconstruct_with_aux(variables, slices01, key)[0]
+
+    def reconstruct_with_aux(
+        self, variables: Variables, slices01: jax.Array, key: jax.Array
+    ):
         """Volume slice-stack reconstruction for the eval harness
-        (reference Spark_2D.test_step, Spark_2D.py:60-116)."""
-        scfg = self.cfg.spark_config
-        active = random_mask(key, slices01.shape[0], scfg.fmap_size, scfg.len_keep)
-        return self.model.apply(variables, slices01.astype(jnp.float32), active, train=False)
+        (reference Spark_2D.test_step, Spark_2D.py:60-116). Returns
+        (reco, aux) where aux['loss_per_slice'] reproduces the reference's
+        per-volume eval loss (Spark_2D.forward, :26-33): the masked spatial
+        loss when loss_on_mask, else L1_AE recon_error + delta_mask · masked.
+        'latent_per_slice' is an empty column — the reference's Spark
+        test_step never records latentSpace (:60-116)."""
+        cfg = self.cfg
+        scfg = cfg.spark_config
+        x01 = slices01.astype(jnp.float32)
+        d = x01.shape[0]
+        active = random_mask(key, d, scfg.fmap_size, scfg.len_keep)
+        reco = self.model.apply(variables, x01, active, train=False)
+        masked_ps = spark_spatial_loss(scfg, x01, reco, active, per_sample=True)
+        if cfg.loss_on_mask:
+            loss_ps = masked_ps
+        else:
+            from .losses import l1_ae_loss
+
+            l1 = l1_ae_loss(reco, x01, cfg.loss_strategy, per_sample=True)
+            loss_ps = l1["recon_error"] + cfg.delta_mask * masked_ps
+        aux = {
+            "loss_per_slice": loss_ps,
+            "latent_per_slice": jnp.zeros((d, 0), jnp.float32),
+        }
+        return reco, aux
+
+    def anomaly_scores(self, loss: float) -> dict:
+        """Spark eval scores (reference Spark_2D.test_step, :100-112):
+        Reco = the forward loss; Reg and the Comb* family are 0."""
+        return {
+            "reco": loss,
+            "reg": 0.0,
+            "comb": 0.0,
+            "combi": 0.0,
+            "comb_prior": 0.0,
+            "combi_prior": 0.0,
+        }
 
 
 # --------------------------------------------------------------------------- #

@@ -103,9 +103,11 @@ def evaluate(
             n_workers = max(1, int(cfg.eval.scorer_threads))
             with ThreadPoolExecutor(max_workers=n_workers) as scorer:
                 pending: list = []
+                score_fn = getattr(task, "anomaly_scores", None)
                 for i, sub in enumerate(loader):
-                    reco = recon(
-                        variables, sub["vol"], jax.random.fold_in(key, i)
+                    reco, raux = recon(
+                        variables, sub["vol"], jax.random.fold_in(key, i),
+                        return_aux=True,
                     )
                     while len(pending) >= n_workers:
                         pending.pop(0).result()
@@ -118,6 +120,9 @@ def evaluate(
                         i,
                         sub.get("ID", str(i)),
                         sub.get("label", 0),
+                        # device scalars; the scorer thread fetches them
+                        aux={"loss": raux["loss"], "latent": raux["latent"],
+                             "score_fn": score_fn},
                     ))
                 for f in pending:
                     f.result()

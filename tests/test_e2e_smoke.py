@@ -67,6 +67,12 @@ def test_e2e_cddpm_train_eval(data_root, tmp_path, monkeypatch):
             assert np.isfinite(d["DicePerVolMean"])
             assert np.isfinite(d["AUPRCPerVolMean"])
             assert len(d["DiceScorePerVol"]) == 2
+            # eval-forward scalars (ref DDPM_2D.py:214-223,267-272): the
+            # encoder latent mean and the diffusion loss land per volume
+            assert len(d["latentSpace"]) == 2
+            assert d["latentSpace"][0].shape == (16,)  # cond_dim
+            assert len(d["AnomalyScoreRegPerVol"]) == 2
+            assert np.isfinite(d["AnomalyScoreRegPerVol"]).all()
 
     run_dir = cfg.run_dir
     assert os.path.exists(os.path.join(run_dir, "checkpoints", "fold-0", "best"))
