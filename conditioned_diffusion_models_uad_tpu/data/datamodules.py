@@ -66,12 +66,26 @@ class DataConfig:
     # device-resident outputs — for hosts whose CPU would otherwise bottleneck
     # eval (~1.9 s/volume single-core vs ~ms on a TPU chip; H2D of the raw
     # volume rides the fast direction of the transfer link).
+    # CAVEAT (device mode): the fused program is traced over the RAW volume
+    # shape, so every distinct raw shape triple compiles once (remote compile
+    # on a tunneled chip: ~tens of seconds each, amortized by the persistent
+    # compile cache). Datasets preprocessed to a common grid (the reference's
+    # offline pipeline registers everything to SRI24, prepare_IXI.sh) hit one
+    # shape; for heterogeneous raw shapes prefer preprocess_backend='host' or
+    # pre-resample offline (data/prepare_cli.py).
     preprocess_backend: str = "host"
     unique_slice: bool = False
     start_slice: Optional[int] = None
     seq_slices: Optional[int] = None
     drop_last: bool = True
     testsets: Sequence[str] = ("Brats21",)
+
+    def __post_init__(self):
+        if self.preprocess_backend not in ("host", "device"):
+            raise ValueError(
+                f"preprocess_backend must be 'host' or 'device', got "
+                f"{self.preprocess_backend!r}"
+            )
 
     @property
     def model_hw(self):

@@ -159,14 +159,14 @@ def _auc_ap_device_impl(x, y):
     return auroc, ap
 
 
-def _seg_metrics_device_impl(x, y, hi0):
+def _greedy_search_device_impl(x, y, lo0, hi0, max_steps: int = 10):
+    """The Zimmerer greedy quartile search (ref utils_eval.py:508-539) as a
+    single fused `fori_loop` program — one device dispatch instead of the 20
+    sequential dice probes of a host-driven search (each a tunnel RTT here).
+    Returns (best_dice, best_threshold)."""
     import jax
     import jax.numpy as jnp
 
-    auroc, ap = _auc_ap_device_impl(x, y)
-
-    # full greedy quartile threshold search in ONE program (the host driver
-    # version makes 20 sequential device calls — each a dispatch round trip)
     y_sum = y.sum()
 
     def dice_at(th):
@@ -192,10 +192,19 @@ def _seg_metrics_device_impl(x, y, hi0):
         hi = jnp.where(take_bottom, center, hi)
         return lo, hi, max_val, max_point
 
-    hi0 = jnp.where(hi0 == 0.0, 1.0, hi0)
+    hi0 = jnp.where(hi0 == lo0, 1.0, hi0)
     _, _, best_dice, best_th = jax.lax.fori_loop(
-        0, 10, body, (jnp.float32(0.0), hi0, jnp.float32(0.0), jnp.float32(0.0))
+        0, max_steps, body,
+        (lo0.astype(jnp.float32), hi0, jnp.float32(0.0), jnp.float32(0.0)),
     )
+    return best_dice, best_th
+
+
+def _seg_metrics_device_impl(x, y, hi0):
+    import jax.numpy as jnp
+
+    auroc, ap = _auc_ap_device_impl(x, y)
+    best_dice, best_th = _greedy_search_device_impl(x, y, jnp.float32(0.0), hi0)
     return auroc, ap, best_dice, best_th
 
 
@@ -239,22 +248,7 @@ def compute_roc_prc_device(predictions, labels):
     return float(auroc), float(ap)
 
 
-def _dice_at_jit(xd, yd, y_sum, th):
-    # module-level jit: one compile per pooled-array shape, not per call site
-    import jax
-
-    global _dice_at_compiled
-    if "_dice_at_compiled" not in globals():
-        import jax.numpy as jnp
-
-        def f(xd, yd, y_sum, th):
-            p = (xd > th).astype(jnp.float32)
-            inter = (p * yd).sum()
-            denom = p.sum() + y_sum
-            return jnp.where(denom > 0, 2.0 * inter / denom, 0.0)
-
-        _dice_at_compiled = jax.jit(f)
-    return _dice_at_compiled(xd, yd, y_sum, th)
+_greedy_search_compiled = None
 
 
 def find_best_val_device(x, y, val_range=(0.0, 1.0), max_steps: int = 10):
@@ -262,36 +256,26 @@ def find_best_val_device(x, y, val_range=(0.0, 1.0), max_steps: int = 10):
     val-stage threshold fit concatenates every voxel of every validation
     volume, ref utils_eval.py:262-288 — hundreds of MB, where the host
     version's 20 full-array dice evaluations dominate eval wall-clock).
-    Bit-compatible search trajectory with the host version."""
+
+    The entire 10-step greedy search runs as ONE fused device program
+    (`_greedy_search_device_impl`) — a single dispatch per pooled fit instead
+    of 20 sequential probe round trips. Trajectory matches the host version
+    (f32 quartile arithmetic; parity-tested)."""
+    import jax
     import jax.numpy as jnp
 
+    global _greedy_search_compiled
+    if _greedy_search_compiled is None:
+        _greedy_search_compiled = jax.jit(
+            _greedy_search_device_impl, static_argnames=("max_steps",)
+        )
     xd = jnp.asarray(x, jnp.float32).ravel()
     yd = jnp.asarray(y, jnp.float32).ravel()
-    y_sum = yd.sum()
-
-    def _dice_at(th):
-        v = _dice_at_jit(xd, yd, y_sum, th)
-        return v
-
     lo, hi = float(val_range[0]), float(val_range[1])
-    if lo == hi:
-        hi = 1.0
-    max_val, max_point = 0.0, 0.0
-    for _ in range(max_steps):
-        center = lo + (hi - lo) * 0.5
-        q_bottom = lo + (hi - lo) * 0.25
-        q_top = lo + (hi - lo) * 0.75
-        val_bottom = float(_dice_at(q_bottom))
-        val_top = float(_dice_at(q_top))
-        if val_bottom >= val_top:
-            if val_bottom >= max_val:
-                max_val, max_point = val_bottom, q_bottom
-            hi = center
-        else:
-            if val_top >= max_val:
-                max_val, max_point = val_top, q_top
-            lo = center
-    return max_val, max_point
+    best, th = _greedy_search_compiled(
+        xd, yd, jnp.float32(lo), jnp.float32(hi), max_steps=max_steps
+    )
+    return float(best), float(th)
 
 
 def confusion_counts(pred: np.ndarray, target: np.ndarray):

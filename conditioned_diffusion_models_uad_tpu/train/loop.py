@@ -96,6 +96,7 @@ class Trainer:
         self.mesh = mesh
         self.logger = logger
         self.tx = make_optimizer(task)
+        self._data_cache: dict = {}
         self._build_steps()
 
     # ------------------------------------------------------------------ #
@@ -211,10 +212,19 @@ class Trainer:
 
     def _device_data(self, source: TrainSliceSource):
         """Replicate the stacked volumes across the mesh ONCE (committed
-        buffers) so repeated step calls incur no host↔device traffic."""
+        buffers) so repeated step calls incur no host↔device traffic. Cached
+        per source: `validate` runs every N epochs and must NOT re-upload the
+        val set each time (a repeated multi-MB H2D over the tunnel)."""
+        cached = self._data_cache.get(id(source))
+        if cached is not None and cached[0] is source:
+            return cached[1]
         data = (source.vols, source.masks)
         if self.mesh is not None:
             data = jax.device_put(data, replicated_sharding(self.mesh))
+        else:
+            data = jax.device_put(data)
+        # keep the source ref so a dead id can't alias a new object
+        self._data_cache[id(source)] = (source, data)
         return data
 
     def validate(self, state, source: TrainSliceSource, key) -> float:

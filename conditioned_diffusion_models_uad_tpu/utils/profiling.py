@@ -48,17 +48,23 @@ class StepTimer:
 
     @staticmethod
     def _fetch_one(result) -> None:
-        """Force a D2H value fetch of one element of EVERY device leaf: leaves
-        can come from different dispatches, and fetching only the first (or an
-        already-materialized one) would let queued programs keep running."""
-        fetched = False
+        """Force a D2H value fetch of one element of the LAST device leaf.
+
+        Device programs execute in enqueue order on the stream, so one value
+        fetch from the most recent result syncs everything queued before it —
+        fetching every leaf would add one tunnel RTT per leaf to each lap
+        (pathological for pytree results like a train state). Callers timing
+        results whose leaves come from different dispatches should pass the
+        last-dispatched output (or a derived scalar) to `lap`."""
+        last = None
         for leaf in jax.tree_util.tree_leaves(result):
             if (hasattr(leaf, "addressable_shards") or hasattr(leaf, "devices")) \
                     and getattr(leaf, "size", 0) > 0:
-                np.asarray(jax.device_get(jax.numpy.ravel(leaf)[:1]))
-                fetched = True
-        if not fetched:
+                last = leaf
+        if last is None:
             jax.block_until_ready(result)
+        else:
+            np.asarray(jax.device_get(jax.numpy.ravel(last)[:1]))
 
     def lap(self, result=None):
         if result is not None:

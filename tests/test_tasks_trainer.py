@@ -270,3 +270,18 @@ def test_step_timer_and_flops():
     f = flops_summary(UNetConfig(), (96, 96), batch=32, step_time_s=0.1)
     assert f["unet_gflops_per_forward"] > 1.0
     assert f["achieved_tflops"] > 0
+
+
+def test_device_data_cached_across_validations(ddpm_task, tmp_path):
+    """The replicated train/val buffers upload ONCE per source: `validate`
+    runs every N epochs and must reuse the committed device arrays (an H2D
+    re-upload per validation is a multi-MB tunnel transfer)."""
+    tr = Trainer(ddpm_task, TrainerConfig(max_epochs=1, ckpt_dir=str(tmp_path)))
+    src = _source()
+    d1 = tr._device_data(src)
+    d2 = tr._device_data(src)
+    assert d1[0] is d2[0] and d1[1] is d2[1]
+    # distinct sources get distinct buffers
+    other = _source(n=4)
+    d3 = tr._device_data(other)
+    assert d3[0] is not d1[0]

@@ -48,14 +48,27 @@ def main() -> None:
     from conditioned_diffusion_models_uad_tpu.orchestrate import evaluate
 
     dims = tuple(args.image_dim)
+    # stamp the generation parameters: a rerun with different --volumes /
+    # --image-dim / --testsets must rebuild, not silently reuse a stale set
+    import json
+
+    gen_params = json.dumps(
+        {"volumes": args.volumes, "image_dim": list(dims),
+         "testsets": sorted(args.testsets)}, sort_keys=True,
+    )
     stamp = os.path.join(args.data_dir, ".built")
-    if not os.path.exists(stamp):
+    stale = True
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            stale = f.read() != gen_params
+    if stale:
         shutil.rmtree(args.data_dir, ignore_errors=True)
         build_synthetic_root(
             args.data_dir, shape=dims, n_train=1, n_val=args.volumes,
             n_test=args.volumes, n_eval=args.volumes, eval_sets=tuple(args.testsets),
         )
-        open(stamp, "w").close()
+        with open(stamp, "w") as f:
+            f.write(gen_params)
 
     cfg = RunConfig(
         name="bench_eval_e2e",
