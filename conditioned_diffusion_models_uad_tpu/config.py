@@ -128,6 +128,7 @@ def compose(
             cfg = _deep_merge(cfg, yaml.safe_load(f) or {})
         cfg["experiment"] = experiment
     cfg = _deep_merge(cfg, parse_overrides(list(overrides)))
+    cfg["_overrides"] = list(overrides)  # for override-derived run-dir naming
     return _walk_interp(cfg)
 
 
@@ -163,6 +164,11 @@ class RunConfig:
     start_fold: int = 0
     log_dir: str = "./logs"
     append_datetime: bool = False  # run-dir '<name>_<YYYY-MM-DD_HH-MM-SS>'
+    # opt-in reference-style run-dir templating (configs/mode/default.yaml:8-36):
+    # '<task>_<datamodule>_<name>_<override-dirname>[_<date>_<time>]', where
+    # override-dirname joins the CLI overrides as 'key-value_key-value'
+    run_dir_template: bool = False
+    override_dirname: str = ""
     n_devices: Optional[int] = None
     task: str = "DDPM_2D"  # 'DDPM_2D' | 'Spark_2D'
     pretrained_encoder: Optional[str] = None  # SparK ckpt dir for encoder import
@@ -175,8 +181,14 @@ class RunConfig:
     @property
     def run_dir(self) -> str:
         """Run directory (reference run-dir templating, configs/mode/
-        default.yaml:8-36: '<name>_<date>' under LOG_DIR)."""
+        default.yaml:8-36: '<name>_<date>' under LOG_DIR; the full
+        override-derived job name when run_dir_template is on)."""
         name = self.name
+        if self.run_dir_template:
+            parts = [self.task, self.datamodule_name, self.name]
+            if self.override_dirname:
+                parts.append(self.override_dirname)
+            name = "_".join(parts)
         if self.append_datetime:
             if not hasattr(self, "_stamp"):
                 import datetime
@@ -189,9 +201,34 @@ class RunConfig:
         return os.path.join(self.log_dir, name)
 
 
+# CLI keys excluded from the override-derived run-dir name (reference
+# configs/mode/default.yaml:22-29 exclude_keys, adapted to this config tree)
+_OVERRIDE_DIRNAME_EXCLUDE = (
+    "experiment", "load_checkpoint", "pretrained_encoder",
+    "datamodule.sample_set", "datamodule.resized_evaluation", "n_devices",
+    # infra/path knobs that must not leak into a directory name
+    "log_dir", "run_dir_template", "append_datetime",
+)
+
+
+def _override_dirname(overrides: Sequence[str]) -> str:
+    """'key-value_key-value' from the raw CLI overrides (reference
+    hydra.job.override_dirname: item_sep '_', kv_sep '-')."""
+    items = []
+    for o in overrides:
+        if "=" not in o:
+            continue
+        k, v = o.split("=", 1)
+        if k in _OVERRIDE_DIRNAME_EXCLUDE or k == "name":
+            continue
+        items.append(f"{k}-{v}".replace(os.sep, "-"))
+    return "_".join(items)
+
+
 def materialize(tree: dict) -> RunConfig:
     """Composed dict -> RunConfig with typed sub-configs."""
     tree = copy.deepcopy(tree)
+    raw_overrides = tree.pop("_overrides", [])
     task_name = tree.get("task", "DDPM_2D")
     model_d = tree.pop("model", {}) or {}
     data_d = tree.pop("datamodule", {}) or {}
@@ -220,6 +257,8 @@ def materialize(tree: dict) -> RunConfig:
         eval=EvalConfig(**_filter_fields(EvalConfig, eval_d)),
     )
     rc.datamodule_name = dm_name
+    if not rc.override_dirname:
+        rc.override_dirname = _override_dirname(raw_overrides)
 
     # single-source knobs: the datamodule owns augmentation and the eval
     # resolution mode (the reference reads both from datamodule cfg)

@@ -31,8 +31,15 @@ import numpy as np
 
 from . import metrics as M
 from . import postprocess as P
+from .fused import SCALAR_KEYS, volume_eval_program
 
 HEALTHY_SETS = ("IXI",)
+
+# volumes above this voxel count score through the ONE-dispatch fused device
+# program (three packed fetches); smaller ones take the host/sklearn path
+# (fetch cost is negligible and tiny-array device sorts are not worth a
+# compile). Tests lower this to force the fused path on small fixtures.
+FUSED_MIN_VOXELS = 100_000
 
 
 def get_eval_dictionary() -> dict:
@@ -120,10 +127,12 @@ class EvalSession:
         dataset_name: str,
         stage: str,  # 'val' | 'test'
         threshold: Optional[dict] = None,  # val-fit threshold for the test stage
+        logger=None,  # optional: saved image grids are pushed via log_image
     ):
         self.cfg = cfg
         self.dataset = dataset_name
         self.stage = stage
+        self.logger = logger
         self.eval_dict = get_eval_dictionary()
         self.threshold = dict(threshold) if threshold else {}
         self.threshholds_healthy: dict = {}
@@ -173,6 +182,13 @@ class EvalSession:
             else jnp.zeros_like(mask)
         )
 
+        if orig.size > FUSED_MIN_VOXELS:
+            return self._test_step_fused(
+                final_volume, orig, mask, seg,
+                seg_available=data_seg is not None,
+                batch_idx=batch_idx, ID=ID, label_vol=label_vol, aux=aux,
+            )
+
         # all eval_dict mutations are deferred to one atomic commit
         rec: list = []
 
@@ -203,9 +219,9 @@ class EvalSession:
         mask_np = np.asarray(data_mask) > 0
 
         if cfg.save_output_images:
-            log_images(
-                self.cfg, diff, np.asarray(orig), seg_np, mask_np,
-                np.asarray(final_volume), ID, self.dataset,
+            self._log_images(
+                diff, np.asarray(orig), seg_np, mask_np,
+                np.asarray(final_volume), ID,
             )
 
         # --- segmentation metrics (lesion sets only, ref :77-144) -------- #
@@ -345,6 +361,178 @@ class EvalSession:
                 self._seg_list.append(seg_np.ravel().astype(np.int8))
 
     # ------------------------------------------------------------------ #
+    def _log_images(self, diff, orig, seg_np, mask_np, reco, ID) -> None:
+        """Save the 4-panel grids and push them to the logger (the reference
+        logs every grid figure to wandb, utils_eval.py:627)."""
+        paths = log_images(
+            self.cfg, diff, orig, seg_np, mask_np, reco, ID, self.dataset,
+        )
+        if self.logger is not None and hasattr(self.logger, "log_image"):
+            for p in paths:
+                self.logger.log_image(f"{self.dataset}/{self.stage}/grid", p)
+
+    # ------------------------------------------------------------------ #
+    def _test_step_fused(
+        self,
+        final_volume,  # device [H, W, D] f32
+        orig,  # device [H, W, D] f32
+        mask,  # device [H, W, D] f32
+        seg,  # device [H, W, D] f32 (zeros when unavailable)
+        *,
+        seg_available: bool,
+        batch_idx: int,
+        ID: str,
+        label_vol: int,
+        aux: Optional[dict],
+    ) -> None:
+        """Large-volume scoring through `volume_eval_program`: one device
+        dispatch, three packed D2H fetches (scalars, per-slice reductions,
+        thresholded bool map), the residual kept on device for the val-stage
+        threshold pooling. Produces the same eval_dict rows as the host path
+        (parity-tested)."""
+        cfg = self.cfg
+        eval_seg = cfg.eval_seg and not self.is_healthy
+        erode_iters = int(orig.shape[1]) // 25 if cfg.erode_brainmask else 0
+        th_record = float("nan")
+        th_apply = float("nan")
+        if eval_seg:
+            if "test" in self.stage:
+                th_record = float(self.threshold["total"])
+            if cfg.threshold != "auto":
+                th_apply = float(cfg.threshold)
+
+        diff_dev, thresholded_dev, scalars_dev, per_slice_dev = volume_eval_program(
+            orig, final_volume, mask, seg,
+            jnp.float32(th_record), jnp.float32(th_apply),
+            residualmode=cfg.residualmode,
+            erode_iterations=erode_iters,
+            median_kernel=cfg.kernelsize_median if cfg.median_filtering else 1,
+            eval_seg=eval_seg,
+        )
+        s = dict(zip(SCALAR_KEYS, np.asarray(scalars_dev).tolist()))  # 1 fetch
+        per_slice = np.asarray(per_slice_dev)  # 1 fetch [D, 5]
+        slice_scores = per_slice[:, 0]
+        seg_sz = per_slice[:, 1]
+        vol_score = s["vol_score"]
+
+        rec: list = [(k, "append", s[k]) for k in SCALAR_KEYS[:6]]
+
+        if cfg.save_output_images:  # opt-in debugging: fetches the images
+            self._log_images(
+                np.asarray(diff_dev), np.asarray(orig),
+                np.asarray(seg) > 0, np.asarray(mask) > 0,
+                np.asarray(final_volume), ID,
+            )
+
+        if eval_seg:
+            # host side: connected components (scipy label) + metrics on the
+            # CC-filtered map (ref :100-135)
+            thresholded = M.filter_3d_connected_components(
+                np.asarray(thresholded_dev), min_size=cfg.cc_min_size
+            )
+            seg_np = np.asarray(seg > 0) if seg_available else np.zeros(
+                thresholded.shape, bool
+            )
+            TP, FP, TN, FN = M.confusion_counts(thresholded, seg_np)
+            prec = TP / (TP + FP) if (TP + FP) > 0 else 0.0
+            recall = TP / (TP + FN) if (TP + FN) > 0 else 0.0
+            spec = TN / (TN + FP + 1e-7)
+            acc = (TP + TN) / thresholded.size
+            rec.extend([
+                ("lesionSizePerVol", "append", int(s["lesion_size"])),
+                ("DiceScorePerVol", "append", M.dice(thresholded, seg_np)),
+                ("BestDicePerVol", "append", s["best_dice"]),
+                ("BestThresholdPerVol", "append", s["th_record"]),
+                ("AUCPerVol", "append", s["auroc"]),
+                ("AUPRCPerVol", "append", s["auprc"]),
+                ("TPPerVol", "append", TP),
+                ("FPPerVol", "append", FP),
+                ("TNPerVol", "append", TN),
+                ("FNPerVol", "append", FN),
+                ("TPRPerVol", "append", M.tpr(thresholded, seg_np)),
+                ("FPRPerVol", "append", M.fpr(thresholded, seg_np)),
+                ("IDs", "append", ID),
+                ("AccuracyPerVol", "append", acc),
+                ("PrecisionPerVol", "append", prec),
+                ("RecallPerVol", "append", recall),
+                ("SpecificityPerVol", "append", spec),
+                ("HausPerVol", "append",
+                 M.hausdorff_distance(thresholded, seg_np)),
+            ])
+
+            # per-slice metrics from the device reductions (ref :137-144)
+            lesion = seg_sz > 0
+            tp_s, fp_s, fn_s = per_slice[:, 2], per_slice[:, 3], per_slice[:, 4]
+            pred_sz = tp_s + fp_s
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dice_s = np.where(
+                    pred_sz + seg_sz > 0, 2 * tp_s / (pred_sz + seg_sz), np.nan
+                )
+                prec_s = np.where(pred_sz > 0, tp_s / pred_sz, 0.0)
+                rec_s = np.where(tp_s + fn_s > 0, tp_s / (tp_s + fn_s), 0.0)
+            rec.extend([
+                ("DiceScorePerSlice", "extend", dice_s[lesion].tolist()),
+                ("PrecisionPerSlice", "extend", prec_s[lesion].tolist()),
+                ("RecallPerSlice", "extend", rec_s[lesion].tolist()),
+                ("lesionSizePerSlice", "extend",
+                 seg_sz[lesion].astype(int).tolist()),
+            ])
+
+        # slice-wise anomaly scores + labels (ref :154-183)
+        slice_labels = (seg_sz > 0).astype(int).tolist()
+        if not self.is_healthy:
+            AUC_s, _, _, _ = M.compute_roc(slice_scores, np.array(slice_labels))
+            AUPRC_s, _, _, _ = M.compute_prc(slice_scores, np.array(slice_labels))
+            rec.extend([
+                ("AUCAnomalyRecoPerSlice", "append", AUC_s),
+                ("AUPRCAnomalyRecoPerSlice", "append", AUPRC_s),
+                ("labelPerSlice", "extend", slice_labels),
+                ("AnomalyScoreRecoPerSlice", "extend", slice_scores.tolist()),
+            ])
+
+        # model-forward scalars (ref DDPM_2D.py:214-223,267-280)
+        if aux is not None:
+            lat = aux.get("latent")
+            if lat is not None:
+                rec.append(("latentSpace", "append", np.asarray(lat)))
+            loss_v = aux.get("loss")
+            if loss_v is not None:
+                loss_v = float(np.asarray(loss_v))
+                score_fn = aux.get("score_fn") or (
+                    lambda l: {k: l for k in
+                               ("reco", "reg", "comb", "combi",
+                                "comb_prior", "combi_prior")}
+                )
+                scores = score_fn(loss_v)
+                rec.append(("AnomalyScoreRegPerVol", "append", scores["reg"]))
+                if not cfg.use_postprocessed_score:
+                    rec.extend([
+                        ("AnomalyScoreRecoPerVol", "append", scores["reco"]),
+                        ("AnomalyScoreCombPerVol", "append", scores["comb"]),
+                        ("AnomalyScoreCombiPerVol", "append", scores["combi"]),
+                        ("AnomalyScoreCombPriorPerVol", "append",
+                         scores["comb_prior"]),
+                        ("AnomalyScoreCombiPriorPerVol", "append",
+                         scores["combi_prior"]),
+                    ])
+
+        if cfg.use_postprocessed_score:
+            for k in ("AnomalyScoreRecoPerVol", "AnomalyScoreCombPerVol",
+                      "AnomalyScoreCombiPerVol", "AnomalyScoreCombPriorPerVol",
+                      "AnomalyScoreCombiPriorPerVol"):
+                rec.append((k, "append", vol_score))
+        rec.append(("labelPerVol", "append", int(label_vol)))
+
+        with self._lock:
+            for k, mode, v in rec:
+                getattr(self.eval_dict[k], mode)(v)
+            if "val" in self.stage:
+                # pool ON DEVICE: the residual never crosses to host; the
+                # global threshold fit runs as one fused device search
+                self._diffs_list.append(diff_dev.ravel())
+                self._seg_list.append((seg > 0).ravel())
+
+    # ------------------------------------------------------------------ #
     def test_end(self) -> dict:
         """Aggregate (nan)mean/std over volumes; fit the val threshold
         (ref _test_end, utils_eval.py:196-297). Returns the eval dict."""
@@ -380,24 +568,47 @@ class EvalSession:
         d["HausPerVolStd"] = float(np.nanstd(haus)) if haus.size else float("nan")
 
         if "val" in self.stage:
+            pool_on_device = any(
+                not isinstance(a, np.ndarray) for a in self._diffs_list
+            )
             if not self.is_healthy and self._diffs_list:
-                diffs = np.concatenate(self._diffs_list)
-                segs = np.concatenate(self._seg_list).astype(bool)
-                # large pools (every voxel of every val volume) fit on device;
-                # the 20 full-array dice evaluations of the greedy search then
-                # run as jitted reductions instead of host passes
-                search = (
-                    M.find_best_val_device if diffs.size > 4_000_000
-                    else M.find_best_val
-                )
-                bestDice, bestThresh = search(
-                    diffs, segs, val_range=(0, float(diffs.max())), max_steps=10
-                )
+                if pool_on_device or sum(
+                    a.size for a in self._diffs_list
+                ) > 4_000_000:
+                    # pooled fit fully on device: concatenate the (already
+                    # device-resident) per-volume residuals and run the greedy
+                    # search as ONE fused program — the pool never crosses the
+                    # D2H link
+                    diffs = jnp.concatenate(
+                        [jnp.asarray(a).ravel() for a in self._diffs_list]
+                    )
+                    segs = jnp.concatenate(
+                        [jnp.asarray(a).ravel() for a in self._seg_list]
+                    )
+                    bestDice, bestThresh = M.find_best_val_device(
+                        diffs, segs,
+                        val_range=(0, float(diffs.max())), max_steps=10,
+                    )
+                else:
+                    diffs = np.concatenate(self._diffs_list)
+                    segs = np.concatenate(self._seg_list).astype(bool)
+                    bestDice, bestThresh = M.find_best_val(
+                        diffs, segs,
+                        val_range=(0, float(diffs.max())), max_steps=10,
+                    )
                 self.threshold["total"] = bestThresh
             elif self._diffs_list:
                 # healthy sets: FPR-quantile thresholds (ref :289-297)
-                diffs = np.concatenate(self._diffs_list)
-                qs = np.quantile(diffs, [0.99, 0.95, 0.90])
+                if pool_on_device:
+                    diffs = jnp.concatenate(
+                        [jnp.asarray(a).ravel() for a in self._diffs_list]
+                    )
+                    qs = np.asarray(
+                        jnp.quantile(diffs, jnp.asarray([0.99, 0.95, 0.90]))
+                    )
+                else:
+                    diffs = np.concatenate(self._diffs_list)
+                    qs = np.quantile(diffs, [0.99, 0.95, 0.90])
                 self.threshholds_healthy = {
                     "thresh_1p": float(qs[0]),
                     "thresh_5p": float(qs[1]),

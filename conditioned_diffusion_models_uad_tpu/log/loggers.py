@@ -62,7 +62,12 @@ class CSVLogger:
 class WandbLogger:
     """wandb logger with per-experiment grouping + resumable run ids
     (reference configs/logger/wandb.yaml, utils.get_checkpoint wandb-ID
-    recovery utils.py:200-202). Silently no-ops when wandb is unavailable."""
+    recovery utils.py:200-202). Silently no-ops when wandb is unavailable.
+
+    The wandb module is resolved at construction time from this module's
+    `_wandb` global, so tests (and users vendoring an offline shim) can
+    inject an implementation; the interface exercised is exactly
+    init/log/config.update/Image/finish."""
 
     def __init__(
         self,
@@ -72,13 +77,14 @@ class WandbLogger:
         run_id: Optional[str] = None,
     ):
         self.dir = run_dir
+        self._wandb = _wandb
         self._id_path = os.path.join(run_dir, "wandb_id.json")
         if run_id is None and os.path.exists(self._id_path):
             with open(self._id_path) as f:
                 run_id = json.load(f).get("id")
         self.run = None
-        if _wandb is not None:  # pragma: no cover
-            self.run = _wandb.init(
+        if self._wandb is not None:
+            self.run = self._wandb.init(
                 project=project, group=group, id=run_id, resume="allow",
                 dir=run_dir,
             )
@@ -87,15 +93,21 @@ class WandbLogger:
                 json.dump({"id": self.run.id}, f)
 
     def log_metrics(self, metrics: Dict[str, Any], step: int = 0) -> None:
-        if self.run is not None:  # pragma: no cover
+        if self.run is not None:
             self.run.log(metrics, step=step)
 
     def log_hyperparams(self, hparams: Dict[str, Any]) -> None:
-        if self.run is not None:  # pragma: no cover
+        if self.run is not None:
             self.run.config.update(hparams, allow_val_change=True)
 
+    def log_image(self, key: str, path: str) -> None:
+        """Push one saved grid image (reference log_images pushes every grid
+        to wandb, utils_eval.py:586-628 incl. :627)."""
+        if self.run is not None:
+            self.run.log({key: [self._wandb.Image(path)]})
+
     def finish(self) -> None:
-        if self.run is not None:  # pragma: no cover
+        if self.run is not None:
             self.run.finish()
 
 
@@ -110,6 +122,11 @@ class MultiLogger:
     def log_hyperparams(self, hparams):
         for l in self.loggers:
             l.log_hyperparams(hparams)
+
+    def log_image(self, key, path):
+        for l in self.loggers:
+            if hasattr(l, "log_image"):
+                l.log_image(key, path)
 
     def finish(self):
         for l in self.loggers:

@@ -88,6 +88,7 @@ def evaluate(
             session = EvalSession(
                 cfg.eval, setname, stage,
                 threshold=threshold if stage == "test" else None,
+                logger=logger,
             )
             # three-stage pipeline: volume i+1 loads on reader threads (native
             # NIfTI reads release the GIL) and volume i's host-side metrics run

@@ -119,3 +119,28 @@ def test_image_hw_derived_from_datamodule(monkeypatch):
     # default north-star stays 96x96
     cfg3 = materialize(compose(CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D"))
     assert tuple(cfg3.model.image_hw) == (96, 96)
+
+
+def test_override_derived_run_dir(tmp_path):
+    """Opt-in reference-style run-dir templating (configs/mode/
+    default.yaml:8-36): '<task>_<datamodule>_<name>_<key-value_key-value>'."""
+    from conditioned_diffusion_models_uad_tpu.config import compose, materialize
+
+    tree = compose(
+        CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D",
+        ["name=exp1", "run_dir_template=true", "model.timesteps=20",
+         "trainer.max_epochs=2", "datamodule.sample_set=true",
+         f"log_dir={tmp_path}"],
+    )
+    cfg = materialize(tree)
+    base = os.path.basename(cfg.run_dir)
+    assert base == (
+        "DDPM_2D_IXI_exp1_model.timesteps-20_trainer.max_epochs-2"
+    )
+    # excluded keys (sample_set) and name= itself never leak into the dirname
+    assert "sample_set" not in base and "exp1_name" not in base
+
+    tree2 = compose(CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D",
+                    ["name=exp1", f"log_dir={tmp_path}"])
+    cfg2 = materialize(tree2)
+    assert os.path.basename(cfg2.run_dir) == "exp1"  # default: plain name

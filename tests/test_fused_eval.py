@@ -1,0 +1,87 @@
+"""Parity of the ONE-dispatch fused per-volume eval program vs the host path.
+
+The fused program (eval/fused.py) collapses the per-volume scoring into a
+single device dispatch with three packed fetches; every eval_dict row it
+produces must match the host/sklearn path (the reference-shaped
+implementation of utils_eval.py:18-194) on the same inputs.
+"""
+import numpy as np
+import pytest
+
+import conditioned_diffusion_models_uad_tpu.eval.harness as H
+from conditioned_diffusion_models_uad_tpu.eval.harness import EvalConfig, EvalSession
+
+
+def _volume(rng, shape=(64, 64, 30)):
+    vol = rng.random(shape, np.float32)
+    reco = np.clip(vol + 0.15 * rng.standard_normal(shape).astype(np.float32), 0, 1)
+    seg = np.zeros(shape, np.float32)
+    seg[20:34, 18:30, 8:20] = 1.0
+    mask = np.zeros(shape, np.float32)
+    mask[4:60, 4:60, :] = 1.0
+    return vol, reco, seg, mask
+
+
+def _run_session(monkeypatch, fused: bool, stage: str, val_threshold=None,
+                 dataset="Brats21", **cfg_kw):
+    rng = np.random.default_rng(7)
+    monkeypatch.setattr(H, "FUSED_MIN_VOXELS", 100_000 if fused else 10**12)
+    cfg = EvalConfig(**cfg_kw)
+    sess = EvalSession(cfg, dataset, stage, threshold=val_threshold)
+    for i in range(2):
+        vol, reco, seg, mask = _volume(rng)
+        sess.test_step(reco, vol, seg, mask, i, f"id{i}", 1)
+    sess.test_end()
+    return sess
+
+
+COMPARE_KEYS = (
+    "l1recoErrorAll", "l2recoErrorAll", "l1recoErrorUnhealthy",
+    "l1recoErrorHealthy", "AUCPerVol", "AUPRCPerVol", "BestDicePerVol",
+    "BestThresholdPerVol", "DiceScorePerVol", "TPPerVol", "FPPerVol",
+    "TNPerVol", "FNPerVol", "TPRPerVol", "FPRPerVol", "PrecisionPerVol",
+    "RecallPerVol", "SpecificityPerVol", "AccuracyPerVol", "HausPerVol",
+    "lesionSizePerVol", "DiceScorePerSlice", "PrecisionPerSlice",
+    "RecallPerSlice", "lesionSizePerSlice", "AnomalyScoreRecoPerSlice",
+    "labelPerSlice", "AUCAnomalyRecoPerSlice", "AUPRCAnomalyRecoPerSlice",
+    "AnomalyScoreRecoPerVol", "labelPerVol",
+)
+
+
+@pytest.mark.parametrize("stage", ["val", "test"])
+def test_fused_matches_host_path(monkeypatch, stage):
+    threshold = {"total": 0.21} if stage == "test" else None
+    a = _run_session(monkeypatch, fused=False, stage=stage, val_threshold=threshold)
+    b = _run_session(monkeypatch, fused=True, stage=stage, val_threshold=threshold)
+    for k in COMPARE_KEYS:
+        va = np.asarray(a.eval_dict[k], np.float64)
+        vb = np.asarray(b.eval_dict[k], np.float64)
+        assert va.shape == vb.shape, k
+        np.testing.assert_allclose(va, vb, rtol=1e-4, atol=1e-6, err_msg=k)
+    if stage == "val":
+        # device-pooled global threshold fit matches the host pooled fit
+        assert a.threshold and b.threshold
+        np.testing.assert_allclose(
+            a.threshold["total"], b.threshold["total"], rtol=1e-4
+        )
+
+
+def test_fused_healthy_set_quantiles(monkeypatch):
+    a = _run_session(monkeypatch, fused=False, stage="val", dataset="IXI")
+    b = _run_session(monkeypatch, fused=True, stage="val", dataset="IXI")
+    for k in ("t_1p", "t_5p", "t_10p"):
+        np.testing.assert_allclose(
+            a.eval_dict[k], b.eval_dict[k], rtol=1e-3, err_msg=k
+        )
+    # healthy sets produce no seg metrics on either path
+    assert a.eval_dict["AUCPerVol"] == [] and b.eval_dict["AUCPerVol"] == []
+
+
+def test_fused_fixed_threshold(monkeypatch):
+    a = _run_session(monkeypatch, fused=False, stage="val", threshold=0.3)
+    b = _run_session(monkeypatch, fused=True, stage="val", threshold=0.3)
+    for k in ("DiceScorePerVol", "TPPerVol", "BestThresholdPerVol"):
+        np.testing.assert_allclose(
+            np.asarray(a.eval_dict[k], np.float64),
+            np.asarray(b.eval_dict[k], np.float64), rtol=1e-4, err_msg=k,
+        )
