@@ -352,8 +352,10 @@ def ddim_sample(
         img, k = carry
         t, t_next = pair[0], pair[1]
         k, nk = jax.random.split(k)
-        alpha = sched.alphas_cumprod_prev[t]
-        alpha_next = sched.alphas_cumprod_prev[t_next]
+        # jnp.take: the tables are host numpy constants (see make_schedule) —
+        # plain [tracer] indexing would call numpy's __array__ on the tracer
+        alpha = jnp.take(sched.alphas_cumprod_prev, t, axis=0)
+        alpha_next = jnp.take(sched.alphas_cumprod_prev, t_next, axis=0)
         bt = jnp.full((shape[0],), t, dtype=jnp.int32)
         pred_noise, x0 = model_predictions(
             sched, cfg, model_fn, img, bt, cond, clip_x_start=cfg.clip_denoised

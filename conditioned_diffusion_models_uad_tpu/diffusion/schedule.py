@@ -86,7 +86,13 @@ def make_schedule(
 
     posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
 
-    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    # HOST numpy tables, not device arrays: jitted programs close over these
+    # as jaxpr constants, and embedding a DEVICE constant at lowering time
+    # forces a D2H fetch — on the tunneled-chip transport a constant fetch can
+    # stall minutes behind the queued program stream (observed in the
+    # orchestrated eval warm pass). numpy constants embed straight from host
+    # memory; XLA still constant-folds them into the compiled program.
+    f32 = lambda a: np.asarray(a, dtype=np.float32)
     return DiffusionSchedule(
         betas=f32(betas),
         alphas_cumprod=f32(alphas_cumprod),
