@@ -32,7 +32,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, gamma_ref, beta_ref, fs_ref, fsh_ref, o_ref, *,
             groups: int, eps: float, apply_silu: bool, has_film: bool):
-    x = x_ref[0].astype(jnp.float32)  # [N, C]
+    # block holds S samples; unrolled loop amortizes per-grid-step overhead
+    for s in range(x_ref.shape[0]):
+        _one_sample(x_ref, gamma_ref, beta_ref, fs_ref, fsh_ref, o_ref, s,
+                    groups=groups, eps=eps, apply_silu=apply_silu,
+                    has_film=has_film)
+
+
+def _one_sample(x_ref, gamma_ref, beta_ref, fs_ref, fsh_ref, o_ref, s, *,
+                groups: int, eps: float, apply_silu: bool, has_film: bool):
+    x = x_ref[s]  # [N, C], input dtype — never materialized in f32
     n, c = x.shape
     cg = c // groups
     # one-hot group matrix [C, G] from 2D iotas (TPU needs >=2D iota)
@@ -40,24 +49,44 @@ def _kernel(x_ref, gamma_ref, beta_ref, fs_ref, fsh_ref, o_ref, *,
     gr = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
     G = (ch // cg == gr).astype(jnp.float32)
 
-    s1 = jnp.dot(x.sum(axis=0), G, preferred_element_type=jnp.float32)
-    s2 = jnp.dot((x * x).sum(axis=0), G, preferred_element_type=jnp.float32)
+    # Per-channel sums via MXU ones-matmuls with f32 accumulation (Mosaic's
+    # dot lowering wants 2D x 2D operands). The elementwise square is taken in
+    # the input dtype: its rounding errors are independent across the ~n*cg
+    # elements of a group, so the accumulated relative error is ~0.4%/sqrt(n),
+    # negligible against the bf16 output quantization.
+    ones = jnp.ones((1, n), x.dtype)
+    dn = (((1,), (0,)), ((), ()))
+    s1 = jax.lax.dot_general(ones, x, dn,
+                             preferred_element_type=jnp.float32)  # [1, C]
+    s2 = jax.lax.dot_general(ones, x * x, dn,
+                             preferred_element_type=jnp.float32)  # [1, C]
+    sg = jnp.dot(jnp.concatenate([s1, s2], axis=0), G,
+                 preferred_element_type=jnp.float32)  # [2, G]
     cnt = jnp.float32(n * cg)
-    mean_g = s1 / cnt
-    var_g = s2 / cnt - mean_g * mean_g  # flax _compute_stats formulation
+    mean_g = sg[0:1] / cnt  # [1, G]
+    var_g = sg[1:2] / cnt - mean_g * mean_g  # flax _compute_stats formulation
     inv_g = jax.lax.rsqrt(var_g + eps)
-    mean_c = jnp.dot(G, mean_g, preferred_element_type=jnp.float32)  # [C]
-    inv_c = jnp.dot(G, inv_g, preferred_element_type=jnp.float32)
+    stats = jnp.concatenate([mean_g, inv_g], axis=0)  # [2, G]
+    per_c = jnp.dot(stats, G.T, preferred_element_type=jnp.float32)  # [2, C]
 
-    y = (x - mean_c[None, :]) * inv_c[None, :]
-    y = y * gamma_ref[...].astype(jnp.float32)[None, :] \
-        + beta_ref[...].astype(jnp.float32)[None, :]
+    # Fold GN affine + FiLM into one per-channel y = a*x + b (coefficient
+    # algebra in f32 on [1, C] arrays; the big array sees 2 fused VPU ops).
+    mean_c, inv_c = per_c[0:1], per_c[1:2]
+    a = inv_c * gamma_ref[...].astype(jnp.float32)[None, :]
+    b = beta_ref[...].astype(jnp.float32)[None, :] - mean_c * a
     if has_film:
-        y = y * (1.0 + fs_ref[0].astype(jnp.float32)[None, :]) \
-            + fsh_ref[0].astype(jnp.float32)[None, :]
+        fi = s if fs_ref.shape[0] > 1 else 0  # broadcast film carries 1 row
+        fs = fs_ref[fi].astype(jnp.float32)  # [1, C]
+        fsh = fsh_ref[fi].astype(jnp.float32)
+        a = a * (1.0 + fs)
+        b = b * (1.0 + fs) + fsh
+    y = x * a.astype(x.dtype) + b.astype(x.dtype)
     if apply_silu:
-        y = y * jax.nn.sigmoid(y)
-    o_ref[0] = y.astype(o_ref.dtype)
+        # silu spelled out: jax.nn.sigmoid's internal f32 constant broadcast
+        # fails Mosaic verification on bf16 vectors; weak-typed literals keep
+        # the computation in y's dtype
+        y = y / (1.0 + jnp.exp(-y))
+    o_ref[s] = y.astype(o_ref.dtype)
 
 
 @partial(
@@ -73,23 +102,45 @@ def _fused_pallas(x, gamma, beta, film_scale, film_shift, *,
         film_scale = jnp.zeros((1, c), x.dtype)
         film_shift = jnp.zeros((1, c), x.dtype)
     fb = film_scale.shape[0]
+    # Mosaic requires the last two block dims to divide (8, 128) or equal the
+    # array dims; a [B, C] film input with block (1, C) violates that when
+    # B > 1 — carry film as [B, 1, C] so the block (1, 1, C) matches exactly.
+    film_scale = film_scale.reshape(fb, 1, c)
+    film_shift = film_shift.reshape(fb, 1, c)
+    # Pack several samples per grid step: per-step fixed overhead (~10us of
+    # DMA issue + semaphore latency) dominated the 1-sample layout. Budget
+    # ~24 MB of in+out blocks (x2 for double buffering stays under the cap).
+    bytes_per = 2 * n * c * x.dtype.itemsize
+    s_blk = max(1, min(b, (24 * 1024 * 1024) // max(bytes_per, 1)))
+    while b % s_blk:
+        s_blk -= 1
     return pl.pallas_call(
         partial(_kernel, groups=groups, eps=eps, apply_silu=apply_silu,
                 has_film=has_film),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
-        grid=(b,),
+        grid=(b // s_blk,),
         in_specs=[
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((s_blk, n, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), (lambda i: (i, 0)) if fb > 1 else
-                         (lambda i: (0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), (lambda i: (i, 0)) if fb > 1 else
-                         (lambda i: (0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_blk if fb > 1 else 1, 1, c),
+                         (lambda i: (i, 0, 0)) if fb > 1 else
+                         (lambda i: (0, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_blk if fb > 1 else 1, 1, c),
+                         (lambda i: (i, 0, 0)) if fb > 1 else
+                         (lambda i: (0, 0, 0)), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((s_blk, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        # One f32 working copy of a 96x96x128 sample plus double-buffered bf16
+        # blocks exceeds the default 16 MB scoped-vmem budget; v5e has 128 MB
+        # of VMEM, so raise the cap (same approach as jax's ragged-attention
+        # kernel) and mark the sample grid parallel.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x, gamma, beta, film_scale, film_shift)
 

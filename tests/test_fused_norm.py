@@ -62,6 +62,9 @@ def test_pallas_kernel_bf16(data):
     got = fused_groupnorm_silu(
         xb, gamma, beta, (fs, fsh), use_pallas=True, interpret=True
     )
+    # the kernel folds GN affine + FiLM into bf16 per-channel a*x+b coeffs:
+    # ~0.4% relative error on top of the twin's own bf16 output quantization
     np.testing.assert_allclose(
-        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=2e-2
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2
     )
