@@ -112,22 +112,86 @@ def parse_overrides(args: Sequence[str]) -> dict:
     return tree
 
 
+# Config groups (the reference Hydra tree's trainer/ model/ datamodule/
+# callbacks/ logger/ mode/ directories, configs/config.yaml:12-31). The value
+# is the config key a group file merges under; None merges at top level.
+_GROUP_DIRS = {
+    "trainer": "trainer",
+    "model": "model",
+    "datamodule": "datamodule",
+    "eval": "eval",
+    "callbacks": "callbacks",
+    "logger": "logger",
+    "mode": None,
+}
+
+
+def _parse_defaults(defaults) -> dict:
+    """Hydra-style defaults list -> {group: name}. Accepts `- group: name`
+    dict entries and `override group: name` keys; `name: null` deselects."""
+    sel: dict = {}
+    for item in defaults or []:
+        if isinstance(item, dict):
+            for g, n in item.items():
+                g = str(g).removeprefix("override ").strip()
+                if g not in _GROUP_DIRS:
+                    raise KeyError(f"unknown config group '{g}' in defaults "
+                                   f"(known: {sorted(_GROUP_DIRS)})")
+                sel[g] = n
+        elif item not in (None, "_self_"):
+            raise ValueError(f"unsupported defaults entry: {item!r}")
+    return sel
+
+
+def _load_group(config_dir: str, group: str, name: str) -> dict:
+    path = os.path.join(config_dir, group, f"{name}.yaml")
+    with open(path) as f:
+        content = yaml.safe_load(f) or {}
+    key = _GROUP_DIRS[group]
+    return content if key is None else {key: content}
+
+
 def compose(
     config_dir: str,
     experiment: Optional[str] = None,
     overrides: Sequence[str] = (),
 ) -> dict:
-    """Hydra-like composition: config.yaml <- experiment overlay <- overrides."""
+    """Hydra-like composition: group defaults <- config.yaml <- experiment
+    overlay <- CLI overrides. Bare `group=name` CLI keys (no dot) re-select a
+    group file, mirroring Hydra's `trainer=fast` syntax."""
     with open(os.path.join(config_dir, "config.yaml")) as f:
-        cfg = yaml.safe_load(f) or {}
+        root = yaml.safe_load(f) or {}
+    selections = _parse_defaults(root.pop("defaults", None))
+
+    exp_tree: dict = {}
     if experiment:
         exp_path = os.path.join(config_dir, "experiment", experiment)
         if not exp_path.endswith(".yaml"):
             exp_path += ".yaml"
         with open(exp_path) as f:
-            cfg = _deep_merge(cfg, yaml.safe_load(f) or {})
+            exp_tree = yaml.safe_load(f) or {}
+        selections.update(_parse_defaults(exp_tree.pop("defaults", None)))
+
+    dotted: List[str] = []
+    for o in overrides:
+        k, _, v = o.partition("=")
+        if k in _GROUP_DIRS and os.path.exists(
+            os.path.join(config_dir, k, f"{v}.yaml")
+        ):
+            selections[k] = v
+        else:
+            dotted.append(o)
+
+    cfg: dict = {}
+    for g, n in selections.items():
+        if n is None:
+            continue
+        cfg = _deep_merge(cfg, _load_group(config_dir, g, str(n)))
+    cfg = _deep_merge(cfg, root)
+    if experiment:
+        cfg = _deep_merge(cfg, exp_tree)
         cfg["experiment"] = experiment
-    cfg = _deep_merge(cfg, parse_overrides(list(overrides)))
+    cfg = _deep_merge(cfg, parse_overrides(dotted))
     cfg["_overrides"] = list(overrides)  # for override-derived run-dir naming
     return _walk_interp(cfg)
 
@@ -146,6 +210,36 @@ def _filter_fields(cls, d: dict) -> dict:
             v = tuple(v)
         out[k] = v
     return out
+
+
+@dataclasses.dataclass
+class CallbacksConfig:
+    """Checkpoint-callback knobs (reference configs/callbacks/checkpoint.yaml).
+
+    The reference always runs ModelCheckpoint(monitor='val/Loss_comb',
+    save_top_k=1, save_last=True); best/last-per-fold is the only supported
+    shape here too, so save_top_k is validated rather than generalized."""
+
+    monitor: str = "val/loss_comb"
+    save_top_k: int = 1
+    save_last: bool = True
+
+    def __post_init__(self):
+        if self.save_top_k != 1:
+            raise ValueError(
+                "callbacks.checkpoint.save_top_k: only 1 is supported "
+                "(best-by-val-loss + last, the reference's configuration)"
+            )
+
+
+@dataclasses.dataclass
+class LoggerConfig:
+    """Active loggers (reference configs/logger/*.yaml: wandb + csv)."""
+
+    use_csv: bool = True
+    use_wandb: bool = True
+    project: Optional[str] = None  # default: uad_<datamodule>
+    group: Optional[str] = None  # default: run name (ref src/train.py:59)
 
 
 @dataclasses.dataclass
@@ -177,6 +271,8 @@ class RunConfig:
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
     eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    callbacks: CallbacksConfig = dataclasses.field(default_factory=CallbacksConfig)
+    logger: LoggerConfig = dataclasses.field(default_factory=LoggerConfig)
 
     @property
     def run_dir(self) -> str:
@@ -234,6 +330,9 @@ def materialize(tree: dict) -> RunConfig:
     data_d = tree.pop("datamodule", {}) or {}
     trainer_d = tree.pop("trainer", {}) or {}
     eval_d = tree.pop("eval", {}) or {}
+    cb_d = tree.pop("callbacks", {}) or {}
+    cb_d = cb_d.get("checkpoint", cb_d)  # accept {checkpoint: {...}} nesting
+    logger_d = tree.pop("logger", {}) or {}
 
     dm_name = data_d.pop("name", "IXI")
     data_cfg = DataConfig(**_filter_fields(DataConfig, data_d))
@@ -248,15 +347,18 @@ def materialize(tree: dict) -> RunConfig:
 
     known = {f.name for f in dataclasses.fields(RunConfig)}
     top = {k: v for k, v in tree.items() if k in known and k not in
-           ("model", "data", "trainer", "eval")}
+           ("model", "data", "trainer", "eval", "callbacks", "logger")}
     rc = RunConfig(
         **top,
         model=model,
         data=data_cfg,
         trainer=TrainerConfig(**_filter_fields(TrainerConfig, trainer_d)),
         eval=EvalConfig(**_filter_fields(EvalConfig, eval_d)),
+        callbacks=CallbacksConfig(**_filter_fields(CallbacksConfig, cb_d)),
+        logger=LoggerConfig(**_filter_fields(LoggerConfig, logger_d)),
     )
     rc.datamodule_name = dm_name
+    rc.trainer.save_last = rc.callbacks.save_last
     if not rc.override_dirname:
         rc.override_dirname = _override_dirname(raw_overrides)
 

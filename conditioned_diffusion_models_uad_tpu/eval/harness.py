@@ -112,8 +112,10 @@ class EvalConfig:
     use_postprocessed_score: bool = True
     out_dir: str = "."
     # volumes scored concurrently with device reconstruction of later volumes;
-    # test_step commits atomically, so >1 worker is safe on multi-core hosts
-    scorer_threads: int = 1
+    # test_step commits atomically, so >1 worker is safe. Default 2: even on a
+    # single-core host the host-side residue (CC filter, Hausdorff) of volume
+    # i overlaps volume i+1's device wait (numpy/scipy release the GIL)
+    scorer_threads: int = 2
 
 
 class EvalSession:

@@ -101,19 +101,38 @@ def evaluate(
             loader = PrefetchLoader(
                 range(len(ds)), lambda i: ds[i], num_threads=2, prefetch=2
             )
+            # UAD_EVAL_TIMING=1: per-stage phase breakdown (loader wait /
+            # recon dispatch / scorer backpressure / test_step / test_end)
+            # printed to stderr — the knob the e2e wall-clock profiling uses
+            timing = os.environ.get("UAD_EVAL_TIMING", "") not in ("", "0")
+            import time as _t
+
+            ph = {"load": 0.0, "recon": 0.0, "wait": 0.0, "step": []}
+
+            def _timed_step(*a, **kw):
+                t0 = _t.perf_counter()
+                session.test_step(*a, **kw)
+                ph["step"].append(_t.perf_counter() - t0)
+
             n_workers = max(1, int(cfg.eval.scorer_threads))
             with ThreadPoolExecutor(max_workers=n_workers) as scorer:
                 pending: list = []
                 score_fn = getattr(task, "anomaly_scores", None)
+                t_mark = _t.perf_counter()
                 for i, sub in enumerate(loader):
+                    t0 = _t.perf_counter()
+                    ph["load"] += t0 - t_mark
                     reco, raux = recon(
                         variables, sub["vol"], jax.random.fold_in(key, i),
                         return_aux=True,
                     )
+                    t1 = _t.perf_counter()
+                    ph["recon"] += t1 - t0
                     while len(pending) >= n_workers:
                         pending.pop(0).result()
+                    ph["wait"] += _t.perf_counter() - t1
                     pending.append(scorer.submit(
-                        session.test_step,
+                        _timed_step if timing else session.test_step,
                         reco,
                         sub["vol_orig"],
                         sub.get("seg_orig"),
@@ -125,9 +144,27 @@ def evaluate(
                         aux={"loss": raux["loss"], "latent": raux["latent"],
                              "score_fn": score_fn},
                     ))
+                    t_mark = _t.perf_counter()
+                t0 = _t.perf_counter()
                 for f in pending:
                     f.result()
+                ph["wait"] += _t.perf_counter() - t0
+            t0 = _t.perf_counter()
             result = session.test_end()
+            if timing:
+                import sys
+
+                steps = ph["step"] or [0.0]
+                with open("/proc/self/statm") as f:
+                    rss_gb = int(f.read().split()[1]) * 4096 / 1e9
+                print(
+                    f"[eval-timing] {setname}/{stage} n={len(ds)} "
+                    f"load={ph['load']:.1f}s recon_dispatch={ph['recon']:.1f}s "
+                    f"backpressure={ph['wait']:.1f}s "
+                    f"step_sum={sum(steps):.1f}s step_max={max(steps):.2f}s "
+                    f"test_end={_t.perf_counter() - t0:.1f}s rss={rss_gb:.1f}GB",
+                    file=sys.stderr, flush=True,
+                )
             if stage == "val":
                 threshold = dict(session.threshold) or None
                 if threshold is None and session.threshholds_healthy:
@@ -155,11 +192,16 @@ def train(cfg: RunConfig) -> dict:
     results = {}
 
     for fold in range(cfg.start_fold, cfg.num_folds):
-        logger = MultiLogger(
-            CSVLogger(cfg.run_dir, name=f"csv_fold{fold}"),
-            WandbLogger(cfg.run_dir, project=f"uad_{cfg.datamodule_name}",
-                        group=cfg.name),
-        )
+        active = []
+        if cfg.logger.use_csv:
+            active.append(CSVLogger(cfg.run_dir, name=f"csv_fold{fold}"))
+        if cfg.logger.use_wandb:
+            active.append(WandbLogger(
+                cfg.run_dir,
+                project=cfg.logger.project or f"uad_{cfg.datamodule_name}",
+                group=cfg.logger.group or cfg.name,
+            ))
+        logger = MultiLogger(*active)
         task = build_task(cfg)
         log_hyperparameters(logger, cfg)
 

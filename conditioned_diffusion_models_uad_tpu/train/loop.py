@@ -56,6 +56,7 @@ class TrainerConfig:
     aug_full: bool = False  # also spatial/noise/motion families (get_augment)
     epoch_scan: bool = True  # run each epoch as one lax.scan
     limit_val_batches: Optional[int] = None
+    save_last: bool = True  # callbacks.checkpoint.save_last (ref checkpoint.yaml)
 
 
 def make_optimizer(task) -> optax.GradientTransformation:
@@ -324,9 +325,10 @@ class Trainer:
                     )
                 host_state = jax.device_get(state)
                 ckpt.maybe_save_best(host_state, epoch + 1, val_loss)
-                ckpt.save_last(host_state, epoch + 1, val_loss)
+                if cfg.save_last:
+                    ckpt.save_last(host_state, epoch + 1, val_loss)
 
-        if not cfg.fast_dev_run and val_source is None:
+        if not cfg.fast_dev_run and val_source is None and cfg.save_last:
             ckpt.save_last(jax.device_get(state), max_epochs)
 
         if self.logger is not None:

@@ -32,6 +32,8 @@ def main() -> None:
     p.add_argument("--data-dir", default="/tmp/bench_e2e_data")
     p.add_argument("--image-dim", type=int, nargs=3, default=(192, 192, 100))
     p.add_argument("--testsets", nargs="+", default=["Brats21", "MSLUB"])
+    p.add_argument("--scorer-threads", type=int, default=None,
+                   help="override EvalConfig.scorer_threads")
     args = p.parse_args()
 
     from conditioned_diffusion_models_uad_tpu.utils import enable_compilation_cache
@@ -81,6 +83,8 @@ def main() -> None:
         ),
         eval=EvalConfig(save_output_images=False),
     )
+    if args.scorer_threads is not None:
+        cfg.eval.scorer_threads = args.scorer_threads
     cfg.eval.out_dir = cfg.run_dir
 
     task = DDPMTask(cfg.model)
