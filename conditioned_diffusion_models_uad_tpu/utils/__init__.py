@@ -1,4 +1,5 @@
 """Shared runtime utilities."""
+from ..native.mempool import enable_host_alloc_cache, pool_stats, pool_trim
 from .convert_torch import convert_reference_unet_state_dict
 from .jax_setup import enable_compilation_cache
 from .profiling import StepTimer, flops_summary, trace
@@ -9,6 +10,9 @@ __all__ = [
     "calc_interres",
     "convert_reference_unet_state_dict",
     "enable_compilation_cache",
+    "enable_host_alloc_cache",
     "flops_summary",
+    "pool_stats",
+    "pool_trim",
     "trace",
 ]

@@ -26,6 +26,15 @@ def _host_fingerprint() -> str:
 def enable_compilation_cache(path: str | None = None) -> None:
     """Turn on the persistent XLA compilation cache (big win for the large
     UNet programs: recompiles across processes/runs become disk loads)."""
+    # Host-memory hygiene first: every process that talks to the device
+    # also churns large numpy buffers (loader/transforms/fetches), and on
+    # this platform first-touch page faults are ~150-600us each once the
+    # tunnel client is active (see native/np_mempool.cpp). Idempotent,
+    # gated by NP_MEMPOOL=0.
+    from ..native.mempool import enable_host_alloc_cache
+
+    enable_host_alloc_cache()
+
     import jax
 
     path = path or os.environ.get(
