@@ -10,9 +10,15 @@ the orchestrated eval lived here, not in compute. This program returns:
 
 * ``diff``        [H,W,D] f32  — stays ON DEVICE (val-stage threshold pooling
                                  consumes it device-side; never fetched)
-* ``thresholded`` [H,W,D] bool — ONE 1-byte/voxel fetch for the host-side
-                                 connected-component filter (the only
-                                 genuinely host-bound step, scipy label)
+* ``thresholded`` [ceil(HWD/8)] uint8 — the binary map BIT-PACKED on device
+                                 (jnp.packbits), ONE 1-bit/voxel fetch for the
+                                 host-side connected-component filter (the only
+                                 genuinely host-bound step, scipy label). At
+                                 160x190x160 eval resolution this turns a
+                                 ~4.9 MB D2H fetch into ~0.6 MB — on the
+                                 12-27 MB/s tunnel that is the difference
+                                 between ~0.3 s and ~30 ms per volume;
+                                 bit-identical after np.unpackbits.
 * ``scalars``     [13] f32     — all per-volume scalars, ONE fetch
 * ``per_slice``   [D,5] f32    — slice scores + per-slice TP/FP/FN/|seg|
                                  reductions, ONE fetch
@@ -114,4 +120,16 @@ def volume_eval_program(
         vol_score, auroc, ap, best_dice, th_rec, th_app, lesion,
     ])
     per_slice = jnp.stack([slice_scores, seg_sz, tp_s, fp_s, fn_s], axis=-1)
-    return diff, thresholded, scalars, per_slice
+    return diff, jnp.packbits(thresholded.ravel()), scalars, per_slice
+
+
+def unpack_thresholded(packed, shape) -> "np.ndarray":  # noqa: F821
+    """Host-side inverse of the device packbits: [ceil(N/8)] uint8 -> bool
+    volume of `shape` (numpy import deferred — this is the only host-side
+    function in this module)."""
+    import numpy as np
+
+    n = 1
+    for s in shape:
+        n *= s
+    return np.unpackbits(np.asarray(packed), count=n).reshape(shape).astype(bool)

@@ -31,7 +31,7 @@ import numpy as np
 
 from . import metrics as M
 from . import postprocess as P
-from .fused import SCALAR_KEYS, volume_eval_program
+from .fused import SCALAR_KEYS, unpack_thresholded, volume_eval_program
 
 HEALTHY_SETS = ("IXI",)
 
@@ -116,6 +116,10 @@ class EvalConfig:
     # single-core host the host-side residue (CC filter, Hausdorff) of volume
     # i overlaps volume i+1's device wait (numpy/scipy release the GIL)
     scorer_threads: int = 2
+    # volumes reconstructed per device dispatch (eval.volumes_per_call=2 runs
+    # the UNet at the measured-best batch-576 layout and halves dispatch round
+    # trips; 1 = reference-exact per-volume noise keys)
+    volumes_per_call: int = 1
 
 
 class EvalSession:
@@ -428,9 +432,11 @@ class EvalSession:
 
         if eval_seg:
             # host side: connected components (scipy label) + metrics on the
-            # CC-filtered map (ref :100-135)
+            # CC-filtered map (ref :100-135); the binary map arrives bit-packed
+            # (1 bit/voxel over the slow D2H link) and is unpacked here
             thresholded = M.filter_3d_connected_components(
-                np.asarray(thresholded_dev), min_size=cfg.cc_min_size
+                unpack_thresholded(thresholded_dev, orig.shape),
+                min_size=cfg.cc_min_size,
             )
             seg_np = np.asarray(seg > 0) if seg_available else np.zeros(
                 thresholded.shape, bool

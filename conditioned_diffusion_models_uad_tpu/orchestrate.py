@@ -115,19 +115,12 @@ def evaluate(
                 ph["step"].append(_t.perf_counter() - t0)
 
             n_workers = max(1, int(cfg.eval.scorer_threads))
+            group_n = max(1, int(cfg.eval.volumes_per_call))
             with ThreadPoolExecutor(max_workers=n_workers) as scorer:
                 pending: list = []
                 score_fn = getattr(task, "anomaly_scores", None)
-                t_mark = _t.perf_counter()
-                for i, sub in enumerate(loader):
-                    t0 = _t.perf_counter()
-                    ph["load"] += t0 - t_mark
-                    reco, raux = recon(
-                        variables, sub["vol"], jax.random.fold_in(key, i),
-                        return_aux=True,
-                    )
-                    t1 = _t.perf_counter()
-                    ph["recon"] += t1 - t0
+
+                def _submit(i, sub, reco, raux, t1):
                     while len(pending) >= n_workers:
                         pending.pop(0).result()
                     ph["wait"] += _t.perf_counter() - t1
@@ -144,7 +137,41 @@ def evaluate(
                         aux={"loss": raux["loss"], "latent": raux["latent"],
                              "score_fn": score_fn},
                     ))
+
+                def _dispatch(group):
+                    # one device program per group. group_n=1 keeps the
+                    # per-volume fold_in(key, i) noise draws exactly; larger
+                    # groups run the UNet at group x depth x ensemble batch
+                    # (batch-576 layout at group 2) under one key
+                    t0 = _t.perf_counter()
+                    if len(group) == 1:
+                        i0, sub0 = group[0]
+                        res = [recon(variables, sub0["vol"],
+                                     jax.random.fold_in(key, i0),
+                                     return_aux=True)]
+                    else:
+                        res = recon.batch_call(
+                            variables, [s["vol"] for _, s in group],
+                            jax.random.fold_in(key, group[0][0]),
+                        )
+                    t1 = _t.perf_counter()
+                    ph["recon"] += t1 - t0
+                    for (i, sub), (reco, raux) in zip(group, res):
+                        _submit(i, sub, reco, raux, t1)
+                        t1 = _t.perf_counter()
+
+                group: list = []
+                t_mark = _t.perf_counter()
+                for i, sub in enumerate(loader):
+                    t0 = _t.perf_counter()
+                    ph["load"] += t0 - t_mark
+                    group.append((i, sub))
+                    if len(group) >= group_n:
+                        _dispatch(group)
+                        group = []
                     t_mark = _t.perf_counter()
+                if group:
+                    _dispatch(group)
                 t0 = _t.perf_counter()
                 for f in pending:
                     f.result()

@@ -110,6 +110,19 @@ def test_e2e_only_eval_reuses_checkpoint(data_root, tmp_path, monkeypatch):
         got, first[0]["test"]["Brats21"]["DicePerVolMean"], rtol=1e-4
     )
 
+    # grouped reconstruction (eval.volumes_per_call=2, the batch-576-layout
+    # knob at flagship shapes): per-volume ordering/counts must be preserved
+    # and metrics finite (noise keys differ by design, so values may move)
+    tree3 = compose(
+        CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D",
+        base + ["only_eval=true", "eval.volumes_per_call=2"],
+    )
+    results3 = train(materialize(tree3))
+    ev3 = results3[0]["test"]["Brats21"]
+    assert np.isfinite(ev3["DicePerVolMean"])
+    assert len(ev3["IDs"]) == len(first[0]["test"]["Brats21"]["IDs"])
+    assert ev3["IDs"] == first[0]["test"]["Brats21"]["IDs"]
+
 
 def test_e2e_healthy_ixi_testset(data_root, tmp_path, monkeypatch):
     """IXI as healthy testset: FPR-quantile thresholds fit on the val stage

@@ -48,6 +48,20 @@ COMPARE_KEYS = (
 )
 
 
+def test_packed_thresholded_roundtrip():
+    # odd total size: the last byte carries padding bits that must be dropped
+    import jax.numpy as jnp
+
+    from conditioned_diffusion_models_uad_tpu.eval.fused import unpack_thresholded
+
+    rng = np.random.default_rng(3)
+    m = rng.random((33, 41, 17)) > 0.7
+    packed = jnp.packbits(jnp.asarray(m).ravel())
+    assert packed.size == (m.size + 7) // 8  # 1 bit/voxel on the wire
+    out = unpack_thresholded(packed, m.shape)
+    assert out.dtype == bool and (out == m).all()
+
+
 @pytest.mark.parametrize("stage", ["val", "test"])
 def test_fused_matches_host_path(monkeypatch, stage):
     threshold = {"total": 0.21} if stage == "test" else None

@@ -83,6 +83,74 @@ def test_flattened_ensemble_unconditional():
     assert np.isfinite(np.asarray(out)).all()
 
 
+class _DetTask:
+    """Deterministic stand-in: reco = 1 - x, per-slice loss/latent reductions.
+
+    Lets the batch_call group pad/split/true-depth logic be checked EXACTLY
+    against per-volume __call__ (the real task draws noise per batch element,
+    so grouped and ungrouped runs legitimately differ there)."""
+
+    def reconstruct_with_aux(self, variables, slices, key):
+        import jax.numpy as jnp
+
+        reco = 1.0 - slices
+        return reco, {
+            "loss_per_slice": jnp.mean(slices, axis=(1, 2, 3)),
+            "latent_per_slice": jnp.stack(
+                [slices.max(axis=(1, 2, 3)), slices.min(axis=(1, 2, 3))], -1
+            ),
+        }
+
+
+def test_batch_call_matches_per_volume_calls():
+    """Grouped reconstruction (eval.volumes_per_call>1) must reproduce the
+    per-volume contract bit-for-bit on a deterministic task: group padding to
+    the common bucketed depth, split, and true-depth aux reductions."""
+    rng = np.random.default_rng(5)
+    vols = [rng.random((16, 16, d), dtype=np.float32) for d in (11, 7)]
+    recon = VolumeReconstructor(_DetTask(), mesh=None, depth_bucket=4)
+    key = jax.random.PRNGKey(9)
+    grouped = recon.batch_call({}, vols, key)
+    for vol, (reco_g, aux_g) in zip(vols, grouped):
+        reco_s, aux_s = recon({}, vol, key, return_aux=True)
+        assert reco_g.shape == vol.shape
+        np.testing.assert_array_equal(np.asarray(reco_g), np.asarray(reco_s))
+        np.testing.assert_allclose(
+            np.asarray(aux_g["loss"]), np.asarray(aux_s["loss"]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux_g["latent"]), np.asarray(aux_s["latent"]), rtol=1e-6
+        )
+
+
+def test_batch_call_real_task_shapes_and_determinism(task_and_vars):
+    task, v = task_and_vars
+    rng = np.random.default_rng(6)
+    vols = [rng.random((32, 32, 6), dtype=np.float32) for _ in range(2)]
+    recon = VolumeReconstructor(task, mesh=None, depth_bucket=4)
+    key = jax.random.PRNGKey(11)
+    a = recon.batch_call(v, vols, key)
+    b = recon.batch_call(v, vols, key)
+    assert len(a) == 2
+    for (ra, xa), (rb, _) in zip(a, b):
+        assert ra.shape == (32, 32, 6)
+        assert np.isfinite(np.asarray(ra)).all()
+        assert np.isfinite(float(xa["loss"]))
+        np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+
+
+def test_batch_call_mesh_sharded(task_and_vars):
+    task, v = task_and_vars
+    mesh = local_mesh()
+    recon = VolumeReconstructor(task, mesh=mesh, depth_bucket=8)
+    vols = [np.random.default_rng(i).random((32, 32, 9), dtype=np.float32)
+            for i in range(2)]
+    out = recon.batch_call(v, vols, jax.random.PRNGKey(12))
+    for vol, (reco, _) in zip(vols, out):
+        assert reco.shape == vol.shape
+        assert np.isfinite(np.asarray(reco)).all()
+
+
 def test_reconstructor_mesh_sharded(task_and_vars):
     """Depth-as-batch sharded over the 8-device mesh; identical shape/finite
     output, depth padded to a multiple of the mesh size."""

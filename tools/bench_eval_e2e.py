@@ -34,6 +34,9 @@ def main() -> None:
     p.add_argument("--testsets", nargs="+", default=["Brats21", "MSLUB"])
     p.add_argument("--scorer-threads", type=int, default=None,
                    help="override EvalConfig.scorer_threads")
+    p.add_argument("--volumes-per-call", type=int, default=1,
+                   help="volumes reconstructed per device dispatch "
+                        "(2 = batch-576 UNet layout)")
     args = p.parse_args()
 
     from conditioned_diffusion_models_uad_tpu.utils import enable_compilation_cache
@@ -85,6 +88,7 @@ def main() -> None:
     )
     if args.scorer_threads is not None:
         cfg.eval.scorer_threads = args.scorer_threads
+    cfg.eval.volumes_per_call = args.volumes_per_call
     cfg.eval.out_dir = cfg.run_dir
 
     task = DDPMTask(cfg.model)
@@ -116,6 +120,7 @@ def main() -> None:
 
     print(
         f"backend={args.backend} volumes={n_vols} "
+        f"group={args.volumes_per_call} "
         f"total={dt:.1f}s per-volume={dt / n_vols:.2f}s "
         f"(warm+compile pass {compile_s:.1f}s)"
     )
