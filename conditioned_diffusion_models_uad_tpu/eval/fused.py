@@ -57,7 +57,10 @@ SCALAR_KEYS = (
 
 @partial(
     jax.jit,
-    static_argnames=("residualmode", "erode_iterations", "median_kernel", "eval_seg"),
+    static_argnames=(
+        "residualmode", "erode_iterations", "median_kernel", "eval_seg",
+        "cc_min_size",
+    ),
 )
 def volume_eval_program(
     orig: jax.Array,  # [H, W, D]
@@ -71,6 +74,8 @@ def volume_eval_program(
     erode_iterations: int = 3,
     median_kernel: int = 5,
     eval_seg: bool = True,
+    cc_min_size: int = 0,  # >0: apply the connected-component filter ON
+    # DEVICE (eval/cc.py) before packing, so the host skips scipy entirely
 ):
     orig = orig.astype(jnp.float32)
     reco = reco.astype(jnp.float32)
@@ -120,6 +125,12 @@ def volume_eval_program(
         vol_score, auroc, ap, best_dice, th_rec, th_app, lesion,
     ])
     per_slice = jnp.stack([slice_scores, seg_sz, tp_s, fp_s, fn_s], axis=-1)
+    if cc_min_size > 0 and eval_seg:
+        from .cc import filter_3d_connected_components_device
+
+        thresholded = filter_3d_connected_components_device(
+            thresholded, cc_min_size
+        )
     return diff, jnp.packbits(thresholded.ravel()), scalars, per_slice
 
 

@@ -107,6 +107,10 @@ class EvalConfig:
     eval_seg: bool = True
     threshold: str = "auto"  # 'auto' or a float
     cc_min_size: int = 8  # drop components <= 7 voxels (ref :500)
+    # 'host' = scipy label on the fetched map (reference-identical library);
+    # 'device' = label-propagation CC inside the fused program (eval/cc.py,
+    # same partition; host never runs scipy) — only affects the fused path
+    cc_backend: str = "host"
     save_output_images: bool = False
     save_to_disc: bool = True
     use_postprocessed_score: bool = True
@@ -120,6 +124,12 @@ class EvalConfig:
     # the UNet at the measured-best batch-576 layout and halves dispatch round
     # trips; 1 = reference-exact per-volume noise keys)
     volumes_per_call: int = 1
+
+    def __post_init__(self):
+        if self.cc_backend not in ("host", "device"):
+            raise ValueError(
+                f"cc_backend must be 'host' or 'device', got {self.cc_backend!r}"
+            )
 
 
 class EvalSession:
@@ -407,6 +417,7 @@ class EvalSession:
             if cfg.threshold != "auto":
                 th_apply = float(cfg.threshold)
 
+        cc_on_device = cfg.cc_backend == "device"
         diff_dev, thresholded_dev, scalars_dev, per_slice_dev = volume_eval_program(
             orig, final_volume, mask, seg,
             jnp.float32(th_record), jnp.float32(th_apply),
@@ -414,6 +425,7 @@ class EvalSession:
             erode_iterations=erode_iters,
             median_kernel=cfg.kernelsize_median if cfg.median_filtering else 1,
             eval_seg=eval_seg,
+            cc_min_size=cfg.cc_min_size if cc_on_device else 0,
         )
         s = dict(zip(SCALAR_KEYS, np.asarray(scalars_dev).tolist()))  # 1 fetch
         per_slice = np.asarray(per_slice_dev)  # 1 fetch [D, 5]
@@ -431,13 +443,15 @@ class EvalSession:
             )
 
         if eval_seg:
-            # host side: connected components (scipy label) + metrics on the
-            # CC-filtered map (ref :100-135); the binary map arrives bit-packed
-            # (1 bit/voxel over the slow D2H link) and is unpacked here
-            thresholded = M.filter_3d_connected_components(
-                unpack_thresholded(thresholded_dev, orig.shape),
-                min_size=cfg.cc_min_size,
-            )
+            # connected components + metrics on the CC-filtered map (ref
+            # :100-135); the binary map arrives bit-packed (1 bit/voxel over
+            # the slow D2H link). With cc_backend='device' the filter already
+            # ran inside the fused program; otherwise scipy labels it here
+            thresholded = unpack_thresholded(thresholded_dev, orig.shape)
+            if not cc_on_device:
+                thresholded = M.filter_3d_connected_components(
+                    thresholded, min_size=cfg.cc_min_size
+                )
             seg_np = np.asarray(seg > 0) if seg_available else np.zeros(
                 thresholded.shape, bool
             )

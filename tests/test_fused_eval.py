@@ -62,11 +62,13 @@ def test_packed_thresholded_roundtrip():
     assert out.dtype == bool and (out == m).all()
 
 
+@pytest.mark.parametrize("cc_backend", ["host", "device"])
 @pytest.mark.parametrize("stage", ["val", "test"])
-def test_fused_matches_host_path(monkeypatch, stage):
+def test_fused_matches_host_path(monkeypatch, stage, cc_backend):
     threshold = {"total": 0.21} if stage == "test" else None
     a = _run_session(monkeypatch, fused=False, stage=stage, val_threshold=threshold)
-    b = _run_session(monkeypatch, fused=True, stage=stage, val_threshold=threshold)
+    b = _run_session(monkeypatch, fused=True, stage=stage, val_threshold=threshold,
+                     cc_backend=cc_backend)
     for k in COMPARE_KEYS:
         va = np.asarray(a.eval_dict[k], np.float64)
         vb = np.asarray(b.eval_dict[k], np.float64)
