@@ -37,6 +37,11 @@ def main() -> None:
     p.add_argument("--volumes-per-call", type=int, default=1,
                    help="volumes reconstructed per device dispatch "
                         "(2 = batch-576 UNet layout)")
+    p.add_argument("--cc-backend", choices=("host", "device"), default="host",
+                   help="connected-component filter: scipy on host or the "
+                        "fused device labeler (eval/cc.py)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the timed pass")
     args = p.parse_args()
 
     from conditioned_diffusion_models_uad_tpu.utils import enable_compilation_cache
@@ -89,6 +94,7 @@ def main() -> None:
     if args.scorer_threads is not None:
         cfg.eval.scorer_threads = args.scorer_threads
     cfg.eval.volumes_per_call = args.volumes_per_call
+    cfg.eval.cc_backend = args.cc_backend
     cfg.eval.out_dir = cfg.run_dir
 
     task = DDPMTask(cfg.model)
@@ -110,9 +116,13 @@ def main() -> None:
     compile_s = time.perf_counter() - t0
 
     n_vols = len(args.testsets) * 2 * args.volumes
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
     t0 = time.perf_counter()
     preds = evaluate(cfg, task, variables, fold=0, logger=_NullLogger())
     dt = time.perf_counter() - t0
+    if args.trace:
+        jax.profiler.stop_trace()
 
     for stage in preds:
         for s, ev in preds[stage].items():
@@ -120,7 +130,7 @@ def main() -> None:
 
     print(
         f"backend={args.backend} volumes={n_vols} "
-        f"group={args.volumes_per_call} "
+        f"group={args.volumes_per_call} cc={args.cc_backend} "
         f"total={dt:.1f}s per-volume={dt / n_vols:.2f}s "
         f"(warm+compile pass {compile_s:.1f}s)"
     )
