@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# One-shot sequence of every tunnel-dependent measurement pending from the
+# round-2 plan (run them strictly serially: one heavy python at a time on
+# this single-core host). Results land in /tmp/scale_results/.
+#
+#   bash tools/run_scale_measurements.sh
+#
+# 1. mempool microbenchmark   — page-fault cost with vs without the pool
+# 2. iterative-sampler bench  — truncated ancestral/DDIM chip throughput
+# 3. single-chip bench.py     — the driver's headline JSON line
+# 4. e2e eval at scale        — ~100 volumes, host vs device knob sweep
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/scale_results
+
+run() {
+  name=$1; shift
+  echo "=== $name: $*" | tee -a /tmp/scale_results/log.txt
+  ( time timeout 3600 "$@" ) >"/tmp/scale_results/$name.txt" 2>&1
+  echo "rc=$? ($name)" | tee -a /tmp/scale_results/log.txt
+  tail -3 "/tmp/scale_results/$name.txt"
+}
+
+run mempool      python tools/bench_mempool.py
+run samplers     python tools/bench_samplers.py --iters 3
+run bench        python bench.py
+export UAD_EVAL_TIMING=1   # per-stage phase breakdown on stderr
+run e2e_host     python tools/bench_eval_e2e.py --volumes 25 --backend host
+run e2e_device   python tools/bench_eval_e2e.py --volumes 25 --backend device \
+                   --volumes-per-call 2 --cc-backend device --scorer-threads 2
+echo "all done" | tee -a /tmp/scale_results/log.txt
