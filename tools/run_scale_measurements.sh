@@ -26,6 +26,9 @@ run samplers     python tools/bench_samplers.py --iters 3
 run bench        python bench.py
 export UAD_EVAL_TIMING=1   # per-stage phase breakdown on stderr
 run e2e_host     python tools/bench_eval_e2e.py --volumes 25 --backend host
-run e2e_device   python tools/bench_eval_e2e.py --volumes 25 --backend device \
+# 200 volumes through the tuned path: the scale regime where the page-fault
+# regression used to appear (per-volume cost must stay flat vs the 20-volume
+# number; VERDICT round-1 item 3)
+run e2e_device   python tools/bench_eval_e2e.py --volumes 50 --backend device \
                    --volumes-per-call 2 --cc-backend device --scorer-threads 2
 echo "all done" | tee -a /tmp/scale_results/log.txt
