@@ -22,6 +22,7 @@ Hausdorff) run on host numpy over the small [H,W,D] volume.
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 from typing import Optional, Sequence
@@ -155,15 +156,54 @@ class EvalSession:
         self._diffs_list: list = []
         self._seg_list: list = []
         self.is_healthy = dataset_name in HEALTHY_SETS
-        # test_step computes into locals and commits atomically, so multiple
-        # scorer threads can evaluate volumes concurrently without scrambling
-        # the per-volume alignment across the eval_dict lists
+        # test_step computes into locals and commits atomically AND IN
+        # batch_idx ORDER: scorer threads evaluate volumes concurrently, but
+        # the eval_dict rows land in dataset order like the reference's
+        # serialized loop (so pickled per-volume lists are reproducible and
+        # aligned). Callers must pass dense 0-based batch_idx values.
         import threading
 
-        self._lock = threading.Lock()
+        self._commit_cv = threading.Condition()
+        self._commit_turn = 0
+        self._aborted: set = set()
 
     # ------------------------------------------------------------------ #
-    def test_step(
+    @contextlib.contextmanager
+    def _ordered_commit(self, batch_idx: int):
+        """Serialize ONLY the commit phase in batch_idx order; the expensive
+        device fetches + host metrics above it stay concurrent."""
+        with self._commit_cv:
+            while self._commit_turn != batch_idx:
+                self._commit_cv.wait()
+            try:
+                yield
+            finally:
+                self._commit_turn += 1
+                while self._commit_turn in self._aborted:
+                    self._aborted.discard(self._commit_turn)
+                    self._commit_turn += 1
+                self._commit_cv.notify_all()
+
+    def _abort_turn(self, batch_idx: int) -> None:
+        """A failed test_step must still release its commit slot, or every
+        later volume would wait forever on the turnstile."""
+        with self._commit_cv:
+            if batch_idx >= self._commit_turn:
+                self._aborted.add(batch_idx)
+                while self._commit_turn in self._aborted:
+                    self._aborted.discard(self._commit_turn)
+                    self._commit_turn += 1
+                self._commit_cv.notify_all()
+
+    def test_step(self, *args, **kwargs) -> None:
+        batch_idx = kwargs.get("batch_idx", args[4] if len(args) > 4 else 0)
+        try:
+            return self._test_step_impl(*args, **kwargs)
+        except BaseException:
+            self._abort_turn(int(batch_idx))
+            raise
+
+    def _test_step_impl(
         self,
         final_volume: np.ndarray,  # [H, W, D] reconstruction in [0,1]
         data_orig: np.ndarray,  # [H, W, D]
@@ -368,8 +408,9 @@ class EvalSession:
                 rec.append((k, "append", vol_score))
         rec.append(("labelPerVol", "append", int(label_vol)))
 
-        # --- atomic commit: one volume's rows land together ---------------- #
-        with self._lock:
+        # --- ordered atomic commit: one volume's rows land together, in
+        # dataset order ----------------------------------------------------- #
+        with self._ordered_commit(batch_idx):
             for k, mode, v in rec:
                 getattr(self.eval_dict[k], mode)(v)
             if "val" in self.stage:  # pooling for the global threshold fit
@@ -545,7 +586,7 @@ class EvalSession:
                 rec.append((k, "append", vol_score))
         rec.append(("labelPerVol", "append", int(label_vol)))
 
-        with self._lock:
+        with self._ordered_commit(batch_idx):
             for k, mode, v in rec:
                 getattr(self.eval_dict[k], mode)(v)
             if "val" in self.stage:

@@ -318,6 +318,9 @@ def test_eval_session_concurrent_scoring_alignment():
         list(ex.map(one, range(8)))
     d = sess.test_end()
     assert len(d["IDs"]) == 8
+    # commits are ordered by batch_idx: the pickled per-volume lists come out
+    # in dataset order no matter which scorer thread finishes first
+    assert d["IDs"] == [f"v{k}" for k in range(8)]
     # per-volume alignment: bigger injected residual -> bigger anomaly score;
     # check the ID ordering matches the score ordering
     order_by_score = [d["IDs"][k] for k in np.argsort(d["AnomalyScoreRecoPerVol"])]
@@ -325,3 +328,18 @@ def test_eval_session_concurrent_scoring_alignment():
     # every per-vol list has exactly one row per volume
     for k in ("DiceScorePerVol", "AUCPerVol", "HausPerVol", "labelPerVol"):
         assert len(d[k]) == 8, k
+
+
+def test_eval_session_failed_volume_releases_commit_slot():
+    """A test_step that raises must release its commit slot, or every later
+    volume would wait on the ordered-commit turnstile forever."""
+    rng = np.random.default_rng(3)
+    cfg = EvalConfig(erode_brainmask=False, median_filtering=False)
+    sess = EvalSession(cfg, "Brats21", "val")
+    with pytest.raises(Exception):
+        sess.test_step("not a volume", "nope", None, "nope", 0, "v0", 1)
+    orig = rng.uniform(0.2, 1.0, size=(24, 24, 6)).astype(np.float32)
+    seg = np.zeros_like(orig); seg[8:16, 8:16, 1:5] = 1
+    # volume 1 commits without deadlock even though volume 0 never did
+    sess.test_step(orig * 0.9, orig, seg, np.ones_like(orig), 1, "v1", 1)
+    assert sess.eval_dict["IDs"] == ["v1"]
