@@ -175,10 +175,22 @@ def compose(
     dotted: List[str] = []
     for o in overrides:
         k, _, v = o.partition("=")
-        if k in _GROUP_DIRS and os.path.exists(
-            os.path.join(config_dir, k, f"{v}.yaml")
-        ):
-            selections[k] = v
+        if k in _GROUP_DIRS:
+            # bare group=name re-selects a group file; a typo'd name must
+            # fail HERE (falling through to the dotted path would set the
+            # whole group subtree to a string and materialize would emit a
+            # per-character unknown-keys error pointing nowhere useful)
+            if os.path.exists(os.path.join(config_dir, k, f"{v}.yaml")):
+                selections[k] = v
+            else:
+                gdir = os.path.join(config_dir, k)
+                avail = sorted(
+                    f[:-5] for f in os.listdir(gdir) if f.endswith(".yaml")
+                ) if os.path.isdir(gdir) else []
+                raise ValueError(
+                    f"unknown option {v!r} for config group {k!r}; "
+                    f"available: {avail}"
+                )
         else:
             dotted.append(o)
 
@@ -304,6 +316,9 @@ _OVERRIDE_DIRNAME_EXCLUDE = (
     "datamodule.sample_set", "datamodule.resized_evaluation", "n_devices",
     # infra/path knobs that must not leak into a directory name
     "log_dir", "run_dir_template", "append_datetime",
+    # non-semantic group selections ('mode=reference' is the knob that turns
+    # templating ON — embedding it would put a constant token in every name)
+    "mode", "logger", "callbacks",
 )
 
 

@@ -27,6 +27,7 @@ import dataclasses
 import os
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,6 +42,12 @@ HEALTHY_SETS = ("IXI",)
 # (fetch cost is negligible and tiny-array device sorts are not worth a
 # compile). Tests lower this to force the fused path on small fixtures.
 FUSED_MIN_VOXELS = 100_000
+
+
+@jax.jit
+def _packbits_mask(v):
+    """Binarize + bit-pack a device volume for a 1-bit/voxel D2H fetch."""
+    return jnp.packbits((v > 0).ravel())
 
 
 def get_eval_dictionary() -> dict:
@@ -112,6 +119,12 @@ class EvalConfig:
     # 'device' = label-propagation CC inside the fused program (eval/cc.py,
     # same partition; host never runs scipy) — only affects the fused path
     cc_backend: str = "host"
+    # HBM budget for the val-stage pooled residuals (fused path). Up to this
+    # many MB the exact concatenated pool + one-dispatch greedy fit is used;
+    # beyond it pooling switches to O(1)-memory value histograms
+    # (metrics.find_best_val_hist) so arbitrarily many/large val volumes
+    # cannot OOM the device. 0 forces histograms from the first volume.
+    pool_device_budget_mb: int = 2048
     save_output_images: bool = False
     save_to_disc: bool = True
     use_postprocessed_score: bool = True
@@ -166,6 +179,47 @@ class EvalSession:
         self._commit_cv = threading.Condition()
         self._commit_turn = 0
         self._aborted: set = set()
+        self._pool_bytes = 0
+        self._hist = None  # (hist_pos, hist_neg) once the pool budget is hit
+
+    # ------------------------------------------------------------------ #
+    def _record_volume_scores(self, rec, aux, vol_score, label_vol) -> None:
+        """Model-forward scalars + sample-wise anomaly scores, shared by the
+        host and fused step paths (ref DDPM_2D.py:214-223,267-280 and
+        utils_eval.py:185-194)."""
+        cfg = self.cfg
+        if aux is not None:
+            lat = aux.get("latent")
+            if lat is not None:
+                rec.append(("latentSpace", "append", np.asarray(lat)))
+            loss_v = aux.get("loss")
+            if loss_v is not None:
+                loss_v = float(np.asarray(loss_v))
+                score_fn = aux.get("score_fn") or (
+                    lambda l: {k: l for k in
+                               ("reco", "reg", "comb", "combi",
+                                "comb_prior", "combi_prior")}
+                )
+                scores = score_fn(loss_v)
+                rec.append(("AnomalyScoreRegPerVol", "append", scores["reg"]))
+                if not cfg.use_postprocessed_score:
+                    # score volumes by the model loss instead of the residual
+                    # (ref DDPM_2D.py:276-280)
+                    rec.extend([
+                        ("AnomalyScoreRecoPerVol", "append", scores["reco"]),
+                        ("AnomalyScoreCombPerVol", "append", scores["comb"]),
+                        ("AnomalyScoreCombiPerVol", "append", scores["combi"]),
+                        ("AnomalyScoreCombPriorPerVol", "append",
+                         scores["comb_prior"]),
+                        ("AnomalyScoreCombiPriorPerVol", "append",
+                         scores["combi_prior"]),
+                    ])
+        if cfg.use_postprocessed_score:
+            for k in ("AnomalyScoreRecoPerVol", "AnomalyScoreCombPerVol",
+                      "AnomalyScoreCombiPerVol", "AnomalyScoreCombPriorPerVol",
+                      "AnomalyScoreCombiPriorPerVol"):
+                rec.append((k, "append", vol_score))
+        rec.append(("labelPerVol", "append", int(label_vol)))
 
     # ------------------------------------------------------------------ #
     @contextlib.contextmanager
@@ -243,6 +297,7 @@ class EvalSession:
                 final_volume, orig, mask, seg,
                 seg_available=data_seg is not None,
                 batch_idx=batch_idx, ID=ID, label_vol=label_vol, aux=aux,
+                data_seg=data_seg,
             )
 
         # all eval_dict mutations are deferred to one atomic commit
@@ -372,41 +427,7 @@ class EvalSession:
                     ("AnomalyScoreRecoPerSlice", "extend", slice_scores.tolist()),
                 ])
 
-        # model-forward scalars (ref DDPM_2D.py:214-223,267-280)
-        if aux is not None:
-            lat = aux.get("latent")
-            if lat is not None:
-                rec.append(("latentSpace", "append", np.asarray(lat)))
-            loss_v = aux.get("loss")
-            if loss_v is not None:
-                loss_v = float(np.asarray(loss_v))
-                score_fn = aux.get("score_fn") or (
-                    lambda l: {k: l for k in
-                               ("reco", "reg", "comb", "combi",
-                                "comb_prior", "combi_prior")}
-                )
-                scores = score_fn(loss_v)
-                rec.append(("AnomalyScoreRegPerVol", "append", scores["reg"]))
-                if not cfg.use_postprocessed_score:
-                    # score volumes by the model loss instead of the residual
-                    # (ref DDPM_2D.py:276-280)
-                    rec.extend([
-                        ("AnomalyScoreRecoPerVol", "append", scores["reco"]),
-                        ("AnomalyScoreCombPerVol", "append", scores["comb"]),
-                        ("AnomalyScoreCombiPerVol", "append", scores["combi"]),
-                        ("AnomalyScoreCombPriorPerVol", "append",
-                         scores["comb_prior"]),
-                        ("AnomalyScoreCombiPriorPerVol", "append",
-                         scores["combi_prior"]),
-                    ])
-
-        # sample-wise anomaly scores (ref :185-194)
-        if cfg.use_postprocessed_score:
-            for k in ("AnomalyScoreRecoPerVol", "AnomalyScoreCombPerVol",
-                      "AnomalyScoreCombiPerVol", "AnomalyScoreCombPriorPerVol",
-                      "AnomalyScoreCombiPriorPerVol"):
-                rec.append((k, "append", vol_score))
-        rec.append(("labelPerVol", "append", int(label_vol)))
+        self._record_volume_scores(rec, aux, vol_score, label_vol)
 
         # --- ordered atomic commit: one volume's rows land together, in
         # dataset order ----------------------------------------------------- #
@@ -441,6 +462,7 @@ class EvalSession:
         ID: str,
         label_vol: int,
         aux: Optional[dict],
+        data_seg=None,  # the CALLER's seg: host numpy in host-preprocess mode
     ) -> None:
         """Large-volume scoring through `volume_eval_program`: one device
         dispatch, three packed D2H fetches (scalars, per-slice reductions,
@@ -493,9 +515,16 @@ class EvalSession:
                 thresholded = M.filter_3d_connected_components(
                     thresholded, min_size=cfg.cc_min_size
                 )
-            seg_np = np.asarray(seg > 0) if seg_available else np.zeros(
-                thresholded.shape, bool
-            )
+            if not seg_available:
+                seg_np = np.zeros(thresholded.shape, bool)
+            elif isinstance(data_seg, np.ndarray):
+                # host-preprocessed subjects: binarize the ORIGINAL host
+                # array — no device round trip
+                seg_np = np.asarray(data_seg) > 0
+            else:
+                # device-resident seg (preprocess_backend=device): fetch it
+                # bit-packed like the threshold map (1 bit/voxel, not 4 bytes)
+                seg_np = unpack_thresholded(_packbits_mask(seg), seg.shape)
             TP, FP, TN, FN = M.confusion_counts(thresholded, seg_np)
             prec = TP / (TP + FP) if (TP + FP) > 0 else 0.0
             recall = TP / (TP + FN) if (TP + FN) > 0 else 0.0
@@ -553,47 +582,32 @@ class EvalSession:
                 ("AnomalyScoreRecoPerSlice", "extend", slice_scores.tolist()),
             ])
 
-        # model-forward scalars (ref DDPM_2D.py:214-223,267-280)
-        if aux is not None:
-            lat = aux.get("latent")
-            if lat is not None:
-                rec.append(("latentSpace", "append", np.asarray(lat)))
-            loss_v = aux.get("loss")
-            if loss_v is not None:
-                loss_v = float(np.asarray(loss_v))
-                score_fn = aux.get("score_fn") or (
-                    lambda l: {k: l for k in
-                               ("reco", "reg", "comb", "combi",
-                                "comb_prior", "combi_prior")}
-                )
-                scores = score_fn(loss_v)
-                rec.append(("AnomalyScoreRegPerVol", "append", scores["reg"]))
-                if not cfg.use_postprocessed_score:
-                    rec.extend([
-                        ("AnomalyScoreRecoPerVol", "append", scores["reco"]),
-                        ("AnomalyScoreCombPerVol", "append", scores["comb"]),
-                        ("AnomalyScoreCombiPerVol", "append", scores["combi"]),
-                        ("AnomalyScoreCombPriorPerVol", "append",
-                         scores["comb_prior"]),
-                        ("AnomalyScoreCombiPriorPerVol", "append",
-                         scores["combi_prior"]),
-                    ])
-
-        if cfg.use_postprocessed_score:
-            for k in ("AnomalyScoreRecoPerVol", "AnomalyScoreCombPerVol",
-                      "AnomalyScoreCombiPerVol", "AnomalyScoreCombPriorPerVol",
-                      "AnomalyScoreCombiPriorPerVol"):
-                rec.append((k, "append", vol_score))
-        rec.append(("labelPerVol", "append", int(label_vol)))
+        self._record_volume_scores(rec, aux, vol_score, label_vol)
 
         with self._ordered_commit(batch_idx):
             for k, mode, v in rec:
                 getattr(self.eval_dict[k], mode)(v)
             if "val" in self.stage:
                 # pool ON DEVICE: the residual never crosses to host; the
-                # global threshold fit runs as one fused device search
-                self._diffs_list.append(diff_dev.ravel())
-                self._seg_list.append((seg > 0).ravel())
+                # global threshold fit runs as one fused device search. Past
+                # the HBM budget, fold everything into bounded value
+                # histograms instead of retaining raw voxels
+                nbytes = diff_dev.size * 4
+                budget = int(self.cfg.pool_device_budget_mb) * (1 << 20)
+                if self._hist is None and self._pool_bytes + nbytes > budget:
+                    self._hist = M.hist_pool_init()
+                    for a, s in zip(self._diffs_list, self._seg_list):
+                        self._hist = M.hist_pool_update(*self._hist, a, s)
+                    self._diffs_list, self._seg_list = [], []
+                    self._pool_bytes = 0
+                if self._hist is not None:
+                    self._hist = M.hist_pool_update(
+                        *self._hist, diff_dev.ravel(), (seg > 0).ravel()
+                    )
+                else:
+                    self._diffs_list.append(diff_dev.ravel())
+                    self._seg_list.append((seg > 0).ravel())
+                    self._pool_bytes += nbytes
 
     # ------------------------------------------------------------------ #
     def test_end(self) -> dict:
@@ -634,7 +648,11 @@ class EvalSession:
             pool_on_device = any(
                 not isinstance(a, np.ndarray) for a in self._diffs_list
             )
-            if not self.is_healthy and self._diffs_list:
+            if not self.is_healthy and self._hist is not None:
+                # bounded histogram pool (budget exceeded during the run)
+                bestDice, bestThresh = M.find_best_val_hist(*self._hist)
+                self.threshold["total"] = bestThresh
+            elif not self.is_healthy and self._diffs_list:
                 if pool_on_device or sum(
                     a.size for a in self._diffs_list
                 ) > 4_000_000:
@@ -660,6 +678,18 @@ class EvalSession:
                         val_range=(0, float(diffs.max())), max_steps=10,
                     )
                 self.threshold["total"] = bestThresh
+            elif self._hist is not None:
+                # healthy sets past the pool budget: quantiles from the value
+                # histogram (seg is all-zero on healthy sets, so the total
+                # value distribution is hist_pos + hist_neg)
+                qs = M.quantiles_from_hist(
+                    np.asarray(self._hist[0] + self._hist[1]),
+                    [0.99, 0.95, 0.90],
+                )
+                self.threshholds_healthy = {
+                    "thresh_1p": qs[0], "thresh_5p": qs[1], "thresh_10p": qs[2],
+                }
+                d["t_1p"], d["t_5p"], d["t_10p"] = qs
             elif self._diffs_list:
                 # healthy sets: FPR-quantile thresholds (ref :289-297)
                 if pool_on_device:

@@ -36,40 +36,55 @@ class StepTimer:
     """Accurate device-step timing: call `lap(result)` per step; the result is
     synced on, so each lap measures real device time + dispatch.
 
-    ``sync='fetch'`` (default) pulls one element of the result to host — on
-    tunneled/remote device transports (axon), ``block_until_ready`` can return
-    once a queued program is acknowledged rather than executed, so only a D2H
-    value fetch is a reliable sync point. ``sync='block'`` restores the plain
-    ``block_until_ready`` behavior for local devices."""
+    ``sync='fetch'`` (default) pulls one element of one result leaf to host —
+    on tunneled/remote device transports (axon), ``block_until_ready`` can
+    return once a queued program is acknowledged rather than executed, so only
+    a D2H value fetch is a reliable sync point. CONTRACT: the result must come
+    from a single dispatch (any leaf then syncs the whole program — pytree
+    leaf order says nothing about dispatch order). For results assembled from
+    several dispatches use ``sync='fetch_all'`` (one element of EVERY leaf;
+    one tunnel RTT per leaf). ``sync='block'`` restores plain
+    ``block_until_ready`` for local devices."""
 
     def __init__(self, sync: str = "fetch"):
         self.times: list = []
         self.sync = sync
 
     @staticmethod
-    def _fetch_one(result) -> None:
-        """Force a D2H value fetch of one element of the LAST device leaf.
+    def _device_leaves(result) -> list:
+        return [
+            leaf for leaf in jax.tree_util.tree_leaves(result)
+            if (hasattr(leaf, "addressable_shards") or hasattr(leaf, "devices"))
+            and getattr(leaf, "size", 0) > 0
+        ]
 
-        Device programs execute in enqueue order on the stream, so one value
-        fetch from the most recent result syncs everything queued before it —
-        fetching every leaf would add one tunnel RTT per leaf to each lap
-        (pathological for pytree results like a train state). Callers timing
-        results whose leaves come from different dispatches should pass the
-        last-dispatched output (or a derived scalar) to `lap`."""
-        last = None
-        for leaf in jax.tree_util.tree_leaves(result):
-            if (hasattr(leaf, "addressable_shards") or hasattr(leaf, "devices")) \
-                    and getattr(leaf, "size", 0) > 0:
-                last = leaf
-        if last is None:
+    @classmethod
+    def _fetch_one(cls, result) -> None:
+        """D2H value fetch of one element of one device leaf — syncs the
+        (single) program that produced the result and everything enqueued
+        before it. See the class docstring for the single-dispatch contract."""
+        leaves = cls._device_leaves(result)
+        if not leaves:
             jax.block_until_ready(result)
         else:
-            np.asarray(jax.device_get(jax.numpy.ravel(last)[:1]))
+            np.asarray(jax.device_get(jax.numpy.ravel(leaves[-1])[:1]))
+
+    @classmethod
+    def _fetch_all(cls, result) -> None:
+        """One-element fetch of EVERY device leaf: correct for results
+        assembled from multiple dispatches, at one RTT per leaf."""
+        leaves = cls._device_leaves(result)
+        if not leaves:
+            jax.block_until_ready(result)
+        for leaf in leaves:
+            np.asarray(jax.device_get(jax.numpy.ravel(leaf)[:1]))
 
     def lap(self, result=None):
         if result is not None:
             if self.sync == "fetch":
                 self._fetch_one(result)
+            elif self.sync == "fetch_all":
+                self._fetch_all(result)
             else:
                 jax.block_until_ready(result)
         now = time.perf_counter()

@@ -82,6 +82,68 @@ def test_fused_matches_host_path(monkeypatch, stage, cc_backend):
         )
 
 
+def test_hist_pool_matches_exact_fit():
+    """The bounded histogram pool's best-dice threshold must agree with the
+    exact concatenated-pool fit to bin resolution."""
+    import conditioned_diffusion_models_uad_tpu.eval.metrics as M
+
+    rng = np.random.default_rng(11)
+    diffs = rng.random(200_000).astype(np.float32) * 0.6
+    segs = (diffs + 0.12 * rng.standard_normal(diffs.shape) > 0.45)
+    hp, hn = M.hist_pool_init()
+    hp, hn = M.hist_pool_update(hp, hn, diffs[:90_000], segs[:90_000])
+    hp, hn = M.hist_pool_update(hp, hn, diffs[90_000:], segs[90_000:])
+    bd_h, bt_h = M.find_best_val_hist(hp, hn)
+    # exact best over every candidate threshold (the histogram argmax is a
+    # refinement of the greedy search, so compare against brute force)
+    order = np.argsort(diffs)[::-1]
+    tp = np.cumsum(segs[order]); fp = np.cumsum(~segs[order])
+    dice = 2 * tp / (tp + fp + segs.sum())
+    assert abs(bd_h - dice.max()) < 1e-3
+    # the returned threshold must ACHIEVE (near-)max dice — near-ties can put
+    # it at a different position than the brute-force argmax
+    pred = diffs > bt_h
+    tp_h = (pred & segs).sum(); fp_h = (pred & ~segs).sum()
+    dice_h = 2 * tp_h / (tp_h + fp_h + segs.sum())
+    assert dice.max() - dice_h < 1e-3
+
+
+def test_hist_pool_budget_switch(monkeypatch):
+    """pool_device_budget_mb=0 forces histogram pooling from the first
+    volume; the fitted val threshold must stay close to the exact path's."""
+    a = _run_session(monkeypatch, fused=True, stage="val")
+    b = _run_session(monkeypatch, fused=True, stage="val",
+                     pool_device_budget_mb=0)
+    assert b._hist is not None and not b._diffs_list
+    # the two methods may pick different thresholds on a flat dice curve;
+    # the histogram argmax must achieve at least the greedy search's POOLED
+    # dice (it is a strict refinement of the 10-step quartile search)
+    diffs = np.concatenate([np.asarray(x) for x in a._diffs_list])
+    segs = np.concatenate([np.asarray(x) for x in a._seg_list]).astype(bool)
+
+    def pooled_dice(t):
+        pred = diffs > t
+        tp = (pred & segs).sum()
+        fp = (pred & ~segs).sum()
+        return 2 * tp / (tp + fp + segs.sum())
+
+    assert pooled_dice(b.threshold["total"]) >= pooled_dice(
+        a.threshold["total"]
+    ) - 1e-3
+    # per-volume metrics are independent of the pooling method
+    assert b.eval_dict["DicePerVolMean"] == a.eval_dict["DicePerVolMean"]
+
+
+def test_hist_pool_healthy_quantiles(monkeypatch):
+    a = _run_session(monkeypatch, fused=True, stage="val", dataset="IXI")
+    b = _run_session(monkeypatch, fused=True, stage="val", dataset="IXI",
+                     pool_device_budget_mb=0)
+    for k in ("t_1p", "t_5p", "t_10p"):
+        np.testing.assert_allclose(
+            b.eval_dict[k], a.eval_dict[k], rtol=0.02, atol=1e-4, err_msg=k
+        )
+
+
 def test_fused_healthy_set_quantiles(monkeypatch):
     a = _run_session(monkeypatch, fused=False, stage="val", dataset="IXI")
     b = _run_session(monkeypatch, fused=True, stage="val", dataset="IXI")
