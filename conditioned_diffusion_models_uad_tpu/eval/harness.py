@@ -119,6 +119,11 @@ class EvalConfig:
     # 'device' = label-propagation CC inside the fused program (eval/cc.py,
     # same partition; host never runs scipy) — only affects the fused path
     cc_backend: str = "host"
+    # 'host' = bbox-cropped scipy distance transforms (fast for small
+    # lesions); 'device' = exact separable squared-EDT on the accelerator
+    # (eval/hausdorff.py — ms-flat regardless of lesion extent, two scalar
+    # fetches). Identical values (squared distances are f32-exact integers)
+    hausdorff_backend: str = "host"
     # HBM budget for the val-stage pooled residuals (fused path). Up to this
     # many MB the exact concatenated pool + one-dispatch greedy fit is used;
     # beyond it pooling switches to O(1)-memory value histograms
@@ -140,10 +145,12 @@ class EvalConfig:
     volumes_per_call: int = 1
 
     def __post_init__(self):
-        if self.cc_backend not in ("host", "device"):
-            raise ValueError(
-                f"cc_backend must be 'host' or 'device', got {self.cc_backend!r}"
-            )
+        for knob in ("cc_backend", "hausdorff_backend"):
+            v = getattr(self, knob)
+            if v not in ("host", "device"):
+                raise ValueError(
+                    f"{knob} must be 'host' or 'device', got {v!r}"
+                )
 
 
 class EvalSession:
@@ -181,6 +188,14 @@ class EvalSession:
         self._aborted: set = set()
         self._pool_bytes = 0
         self._hist = None  # (hist_pos, hist_neg) once the pool budget is hit
+
+    # ------------------------------------------------------------------ #
+    def _hausdorff(self, pred: np.ndarray, target: np.ndarray) -> float:
+        if self.cfg.hausdorff_backend == "device":
+            from .hausdorff import hausdorff_distance_device
+
+            return hausdorff_distance_device(pred, target)
+        return M.hausdorff_distance(pred, target)
 
     # ------------------------------------------------------------------ #
     def _record_volume_scores(self, rec, aux, vol_score, label_vol) -> None:
@@ -548,8 +563,7 @@ class EvalSession:
                 ("PrecisionPerVol", "append", prec),
                 ("RecallPerVol", "append", recall),
                 ("SpecificityPerVol", "append", spec),
-                ("HausPerVol", "append",
-                 M.hausdorff_distance(thresholded, seg_np)),
+                ("HausPerVol", "append", self._hausdorff(thresholded, seg_np)),
             ])
 
             # per-slice metrics from the device reductions (ref :137-144)
