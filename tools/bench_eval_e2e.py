@@ -40,6 +40,10 @@ def main() -> None:
     p.add_argument("--cc-backend", choices=("host", "device"), default="host",
                    help="connected-component filter: scipy on host or the "
                         "fused device labeler (eval/cc.py)")
+    p.add_argument("--hausdorff-backend", choices=("host", "device"),
+                   default="host",
+                   help="surface Hausdorff: bbox scipy EDT or the device "
+                        "separable squared-EDT (eval/hausdorff.py)")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the timed pass")
     args = p.parse_args()
@@ -95,6 +99,7 @@ def main() -> None:
         cfg.eval.scorer_threads = args.scorer_threads
     cfg.eval.volumes_per_call = args.volumes_per_call
     cfg.eval.cc_backend = args.cc_backend
+    cfg.eval.hausdorff_backend = args.hausdorff_backend
     cfg.eval.out_dir = cfg.run_dir
 
     task = DDPMTask(cfg.model)

@@ -30,5 +30,6 @@ run e2e_host     python tools/bench_eval_e2e.py --volumes 25 --backend host
 # regression used to appear (per-volume cost must stay flat vs the 20-volume
 # number; VERDICT round-1 item 3)
 run e2e_device   python tools/bench_eval_e2e.py --volumes 50 --backend device \
-                   --volumes-per-call 2 --cc-backend device --scorer-threads 2
+                   --volumes-per-call 2 --cc-backend device \
+                   --hausdorff-backend device --scorer-threads 2
 echo "all done" | tee -a /tmp/scale_results/log.txt
