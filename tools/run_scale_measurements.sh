@@ -23,6 +23,7 @@ run() {
 
 run mempool      python tools/bench_mempool.py
 run samplers     python tools/bench_samplers.py --iters 3
+run train        python tools/bench_train.py --iters 10
 run bench        python bench.py
 export UAD_EVAL_TIMING=1   # per-stage phase breakdown on stderr
 run e2e_host     python tools/bench_eval_e2e.py --volumes 25 --backend host
