@@ -61,6 +61,27 @@ def test_experiment_overlay_keeps_group_defaults(tmp_path):
     assert rc.logger.use_csv is True
 
 
+def test_eval_device_fast_preset(tmp_path):
+    os.environ.setdefault("DATA_DIR", str(tmp_path))
+    tree = compose(
+        CONFIG_DIR, experiment="cDDPM/DDPM_cond_spark_2D",
+        overrides=["eval=device_fast"],
+    )
+    rc = materialize(tree)
+    assert rc.eval.volumes_per_call == 2
+    assert rc.eval.cc_backend == "device"
+    assert rc.eval.hausdorff_backend == "device"
+    # the experiment's own eval keys survive the group selection
+    assert rc.eval.residualmode == "l1"
+
+
+def test_group_selection_typo_raises(tmp_path):
+    os.environ.setdefault("DATA_DIR", str(tmp_path))
+    with pytest.raises(ValueError, match="config group 'trainer'"):
+        compose(CONFIG_DIR, experiment="cDDPM/DDPM_cond_spark_2D",
+                overrides=["trainer=fsat"])
+
+
 def test_unknown_group_and_bad_topk():
     with pytest.raises(ValueError):
         CallbacksConfig(save_top_k=3)
