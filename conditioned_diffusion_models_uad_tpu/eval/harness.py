@@ -139,6 +139,10 @@ class EvalConfig:
     # single-core host the host-side residue (CC filter, Hausdorff) of volume
     # i overlaps volume i+1's device wait (numpy/scipy release the GIL)
     scorer_threads: int = 2
+    # eval subject loader: reader threads (native NIfTI reads release the
+    # GIL) and volumes buffered ahead of reconstruction
+    loader_threads: int = 2
+    loader_prefetch: int = 2
     # volumes reconstructed per device dispatch (eval.volumes_per_call=2 runs
     # the UNet at the measured-best batch-576 layout and halves dispatch round
     # trips; 1 = reference-exact per-volume noise keys)

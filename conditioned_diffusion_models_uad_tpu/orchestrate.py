@@ -99,7 +99,9 @@ def evaluate(
             from .native.binding import PrefetchLoader
 
             loader = PrefetchLoader(
-                range(len(ds)), lambda i: ds[i], num_threads=2, prefetch=2
+                range(len(ds)), lambda i: ds[i],
+                num_threads=max(1, int(cfg.eval.loader_threads)),
+                prefetch=max(1, int(cfg.eval.loader_prefetch)),
             )
             # UAD_EVAL_TIMING=1: per-stage phase breakdown (loader wait /
             # recon dispatch / scorer backpressure / test_step / test_end)
