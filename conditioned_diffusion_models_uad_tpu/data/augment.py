@@ -80,8 +80,14 @@ def _rand_ghosting(key, x, min_ghosts: int = 4, max_ghosts: int = 10):
         spect = jnp.fft.fft2(v)
         idx_h = jnp.arange(h)
         idx_w = jnp.arange(w)
-        sel_h = (idx_h % ng == 0) & (jnp.abs(idx_h - h // 2) > h * 0.05)
-        sel_w = (idx_w % ng == 0) & (jnp.abs(idx_w - w // 2) > w * 0.05)
+        # jnp.fft.fft2 is UNSHIFTED: the k-space center (DC + low frequencies,
+        # which torchio RandomGhosting explicitly restores) lives at index 0
+        # with wrap-around — protect by circular frequency distance, NOT h//2
+        # (h//2 is the highest frequency in this layout)
+        fdist_h = jnp.minimum(idx_h, h - idx_h)
+        fdist_w = jnp.minimum(idx_w, w - idx_w)
+        sel_h = (idx_h % ng == 0) & (fdist_h > h * 0.05)
+        sel_w = (idx_w % ng == 0) & (fdist_w > w * 0.05)
         mod_h = jnp.where(sel_h, 1.0 - inten, 1.0)[:, None]
         mod_w = jnp.where(sel_w, 1.0 - inten, 1.0)[None, :]
         mod = jnp.where(along_h, mod_h * jnp.ones((1, w)), jnp.ones((h, 1)) * mod_w)
@@ -220,8 +226,10 @@ def full_augment_batch(key: jax.Array, vol: jax.Array, mask: jax.Array):
     vol, mask = spatial_augment_batch(k_sp, vol, mask)
     vol = aug_intensity_batch(k_int, vol)
     b = vol.shape[0]
-    apply_n = jax.random.bernoulli(k_gn, 0.25, (b, 1, 1, 1))
+    # reference gate probabilities: RandomNoise(p=0.5), RandomMotion(p=0.1)
+    # (create_dataset.py:226-229)
+    apply_n = jax.random.bernoulli(k_gn, 0.5, (b, 1, 1, 1))
     vol = jnp.where(apply_n, _rand_noise(k_n, vol), vol)
-    apply_m = jax.random.bernoulli(k_gm, 0.25, (b, 1, 1, 1))
+    apply_m = jax.random.bernoulli(k_gm, 0.1, (b, 1, 1, 1))
     vol = jnp.where(apply_m, _rand_motion(k_m, vol), vol)
     return vol, mask

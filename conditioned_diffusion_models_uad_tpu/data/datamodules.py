@@ -89,9 +89,15 @@ class DataConfig:
 
     @property
     def model_hw(self):
+        # ceil, matching bspline_downsample's new-size formula — truncation
+        # would disagree with the produced slice shape whenever
+        # image_dim / rescale_factor is not exact (ref calc_interres is also
+        # a spacing-preserving resample to ceil sizes)
+        import math
+
         return (
-            int(self.image_dim[0] / self.rescale_factor),
-            int(self.image_dim[1] / self.rescale_factor),
+            int(math.ceil(self.image_dim[0] / self.rescale_factor)),
+            int(math.ceil(self.image_dim[1] / self.rescale_factor)),
         )
 
 
@@ -164,6 +170,16 @@ def _preprocess_subject_fused(
     return out
 
 
+def _int_label(v) -> int:
+    """Robust CSV label parse: empty cells arrive as NaN (truthy! `NaN or 0`
+    never falls back) and int(NaN) raises — treat missing/unparseable as 0."""
+    try:
+        f = float(v)
+    except (TypeError, ValueError):
+        return 0
+    return 0 if f != f else int(f)
+
+
 def _read_raw(path: str) -> np.ndarray:
     """Raw NIfTI read (no smoothing): shared by the host `_read_image` path
     and the device-fused path; 4D volumes keep their first channel."""
@@ -207,7 +223,7 @@ def _load_subject_device(row, cfg: DataConfig, keep_orig: bool) -> dict:
     out["seg_available"] = seg_available
     out["ID"] = str(row.get("img_name", ""))
     out["age"] = row.get("age", 0)
-    out["label"] = int(row.get("label", 0) or 0)
+    out["label"] = _int_label(row.get("label", 0))
     return out
 
 
@@ -276,7 +292,7 @@ def load_subject(
     out["seg_available"] = seg_available
     out["ID"] = str(row.get("img_name", ""))
     out["age"] = row.get("age", 0)
-    out["label"] = int(row.get("label", 0) or 0)
+    out["label"] = _int_label(row.get("label", 0))
     return out
 
 

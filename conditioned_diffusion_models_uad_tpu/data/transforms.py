@@ -69,10 +69,17 @@ def percentile_rescale(
     p_high: float = 99.0,
 ) -> jax.Array:
     """Rescale intensities to [out_min, out_max] using percentile cutoffs
-    computed over mask>0 voxels (tio.RescaleIntensity masked semantics)."""
+    computed over mask>0 voxels (tio.RescaleIntensity masked semantics).
+
+    An EMPTY mask (blank/corrupt scan) yields NaN percentiles which would
+    silently poison everything downstream (stacked train arrays, eval
+    metrics) — guard by falling back to [0, 1] cutoffs, returning a zero
+    volume for an all-zero input instead of NaNs."""
     vals = jnp.where(mask > 0, vol, jnp.nan)
     lo = jnp.nanpercentile(vals, p_low)
     hi = jnp.nanpercentile(vals, p_high)
+    lo = jnp.where(jnp.isnan(lo), 0.0, lo)
+    hi = jnp.where(jnp.isnan(hi), 1.0, hi)
     rng = jnp.where(hi - lo > 1e-8, hi - lo, 1.0)
     out = (jnp.clip(vol, lo, hi) - lo) / rng
     return out * (out_max - out_min) + out_min

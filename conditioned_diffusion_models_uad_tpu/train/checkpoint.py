@@ -46,9 +46,16 @@ class FoldCheckpointer:
         self._save("last", state, step, val_loss)
 
     def maybe_save_best(self, state: Any, step: int, val_loss: float) -> bool:
-        """Keep only the best-by-val-loss state (save_top_k=1 semantics)."""
+        """Keep only the best-by-val-loss state (save_top_k=1 semantics).
+        A non-finite val loss never becomes 'best' — a NaN written once would
+        poison every later comparison (x < nan is always False) and pin the
+        diverged state as the restored checkpoint for the whole run."""
+        import math
+
+        if val_loss is None or not math.isfinite(val_loss):
+            return False
         prev = self.meta.get("best", {}).get("val_loss", None)
-        if prev is None or val_loss < prev:
+        if prev is None or not math.isfinite(prev) or val_loss < prev:
             self._save("best", state, step, float(val_loss))
             return True
         return False

@@ -270,7 +270,6 @@ class Trainer:
             start_epoch = int(meta.get("step", 0))
 
         max_epochs = 1 if cfg.fast_dev_run else cfg.max_epochs
-        rng = np.random.default_rng(cfg.seed + fold)
         data = self._device_data(train_source)
         steps, t0 = 0, time.time()
         last_loss = float("nan")
@@ -287,7 +286,14 @@ class Trainer:
                 vi_all, si_all = overfit_arrays
             else:
                 limit = 1 if cfg.fast_dev_run else None
-                vi_all, si_all = self._epoch_index_arrays(train_source, rng, limit)
+                # per-epoch derived rng: the shuffle stream is a function of
+                # (seed, fold, epoch), so a resumed run at epoch k draws the
+                # SAME orders epochs 0..k-1 would have been followed by — not
+                # a replay of the start of training
+                epoch_rng = np.random.default_rng([cfg.seed + fold, epoch])
+                vi_all, si_all = self._epoch_index_arrays(
+                    train_source, epoch_rng, limit
+                )
             if vi_all is None:
                 raise ValueError("empty training source")
 
@@ -297,19 +303,29 @@ class Trainer:
                 )
                 steps += vi_all.shape[0]
                 last_loss = float(jax.device_get(losses)[-1])
+                if self.logger is not None:
+                    self.logger.log_metrics(
+                        {"train/loss": last_loss, "epoch": epoch}, step=steps
+                    )
             else:
-                for b in range(vi_all.shape[0]):
+                every = max(1, int(cfg.log_every_n_steps))
+                n_b = vi_all.shape[0]
+                for b in range(n_b):
                     state, loss = self._train_step(
                         state, data, vi_all[b], si_all[b],
                         jax.random.fold_in(k_train, epoch),
                     )
                     steps += 1
-                    last_loss = float(loss)
-
-            if self.logger is not None and (epoch % 1 == 0):
-                self.logger.log_metrics(
-                    {"train/loss": last_loss, "epoch": epoch}, step=steps
-                )
+                    # value-fetch (a device sync) only at the logging cadence
+                    # or epoch end — a per-step D2H fetch would serialize the
+                    # tunneled transport the loop otherwise keeps enqueued
+                    if steps % every == 0 or b == n_b - 1:
+                        last_loss = float(loss)
+                        if self.logger is not None:
+                            self.logger.log_metrics(
+                                {"train/loss": last_loss, "epoch": epoch},
+                                step=steps,
+                            )
 
             run_val = (
                 val_source is not None

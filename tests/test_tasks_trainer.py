@@ -226,6 +226,54 @@ def test_trainer_multidevice_mesh(ddpm_task, tmp_path):
     )
 
 
+def test_checkpoint_best_rejects_nonfinite(tmp_path):
+    ck = FoldCheckpointer(str(tmp_path), 0)
+    state = {"params": {"w": np.zeros(3, np.float32)}}
+    # a NaN val loss must never become 'best' (it would win every later
+    # x < nan comparison and pin the diverged state for the whole run)
+    assert ck.maybe_save_best(state, 1, float("nan")) is False
+    assert ck.maybe_save_best(state, 2, 0.5) is True
+    assert ck.maybe_save_best(state, 3, float("inf")) is False
+    assert ck.maybe_save_best(state, 4, 0.4) is True
+    assert ck.meta["best"]["val_loss"] == 0.4
+
+
+def test_epoch_shuffle_is_resume_invariant(ddpm_task, tmp_path):
+    """The per-epoch shuffle stream is a function of (seed, fold, epoch):
+    a run resumed at epoch k must draw the same orders epochs would have
+    seen uninterrupted, not replay epoch 0's."""
+    src = _source()
+    tcfg = TrainerConfig(max_epochs=1, ckpt_dir=str(tmp_path),
+                         aug_intensity=False, seed=0)
+    tr = Trainer(ddpm_task, tcfg)
+    a = tr._epoch_index_arrays(src, np.random.default_rng([0, 5]))
+    b = tr._epoch_index_arrays(src, np.random.default_rng([0, 5]))
+    c = tr._epoch_index_arrays(src, np.random.default_rng([0, 6]))
+    np.testing.assert_array_equal(a[0], b[0])
+    assert not np.array_equal(a[0], c[0])
+
+
+def test_log_every_n_steps_cadence(ddpm_task, tmp_path):
+    """The non-scan path value-fetches/logs only at the configured step
+    cadence (plus epoch end) — not every step."""
+    class Counter:
+        def __init__(self):
+            self.train_logs = 0
+
+        def log_metrics(self, metrics, step=0):
+            if "train/loss" in metrics:
+                self.train_logs += 1
+
+    log = Counter()
+    tcfg = TrainerConfig(max_epochs=2, ckpt_dir=str(tmp_path),
+                         aug_intensity=False, epoch_scan=False,
+                         log_every_n_steps=3, seed=0,
+                         check_val_every_n_epoch=10)
+    Trainer(ddpm_task, tcfg, logger=log).fit(_source(), fold=0)
+    # 2 epochs x 2 steps: logs at step 3 (cadence) + steps 2, 4 (epoch ends)
+    assert log.train_logs == 3
+
+
 def test_fast_dev_run(ddpm_task, tmp_path):
     tcfg = TrainerConfig(
         fast_dev_run=True, ckpt_dir=str(tmp_path), aug_intensity=False, seed=0

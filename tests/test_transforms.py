@@ -52,6 +52,60 @@ def test_percentile_rescale_masked():
     assert out.min() >= 0 and out.max() <= 1
 
 
+def test_percentile_rescale_empty_mask_no_nan():
+    """A blank/corrupt scan (empty mask) must not poison the pipeline with
+    NaNs — the guard falls back to [0,1] cutoffs."""
+    vol = np.zeros((8, 8, 8), np.float32)
+    out = np.asarray(percentile_rescale(jnp.asarray(vol), jnp.asarray(vol)))
+    assert np.isfinite(out).all()
+    assert (out == 0).all()
+
+
+def test_ghosting_preserves_kspace_center():
+    """RandomGhosting restores the k-space CENTER (torchio semantics): in the
+    unshifted fft layout that is index 0 — a constant image (energy only at
+    DC) must pass through unchanged, and a real image keeps its mean."""
+    import jax
+
+    from conditioned_diffusion_models_uad_tpu.data.augment import _rand_ghosting
+
+    const = jnp.full((2, 32, 32, 1), 0.7, jnp.float32)
+    out = np.asarray(_rand_ghosting(jax.random.PRNGKey(0), const))
+    np.testing.assert_allclose(out, 0.7, atol=1e-5)
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((2, 32, 32, 1), np.float32))
+    out = np.asarray(_rand_ghosting(jax.random.PRNGKey(1), img))
+    np.testing.assert_allclose(
+        out.mean(axis=(1, 2, 3)), np.asarray(img).mean(axis=(1, 2, 3)),
+        atol=1e-4,
+    )
+    assert not np.allclose(out, np.asarray(img))  # lines were attenuated
+
+
+def test_int_label_robust():
+    from conditioned_diffusion_models_uad_tpu.data.datamodules import _int_label
+
+    assert _int_label(float("nan")) == 0  # empty CSV cell via pandas
+    assert _int_label(None) == 0
+    assert _int_label("") == 0
+    assert _int_label(1) == 1
+    assert _int_label("2") == 2
+    assert _int_label(0.0) == 0
+
+
+def test_model_hw_matches_downsample_output():
+    from conditioned_diffusion_models_uad_tpu.data.datamodules import DataConfig
+    from conditioned_diffusion_models_uad_tpu.data.transforms import (
+        bspline_downsample,
+    )
+
+    cfg = DataConfig(image_dim=(190, 190, 100), rescale_factor=4.0)
+    vol = jnp.zeros((190, 190, 100), jnp.float32)
+    got = bspline_downsample(vol, 4.0).shape[:2]
+    assert cfg.model_hw == got == (48, 48)  # ceil, not truncation
+
+
 def test_curvature_flow_smooths_and_preserves_mean():
     rng = np.random.default_rng(1)
     vol = rng.normal(0, 1, size=(24, 24, 24)).astype(np.float32)
