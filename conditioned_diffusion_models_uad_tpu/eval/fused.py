@@ -1,33 +1,46 @@
-"""ONE-dispatch per-volume evaluation: every device-computable quantity of the
-reference's `_test_step` chain (src/utils/utils_eval.py:18-194) in a single
-XLA program, with the host round trips collapsed to three packed fetches.
+"""ONE-dispatch, ONE-fetch per-volume evaluation: every device-computable
+quantity of the reference's `_test_step` chain (src/utils/utils_eval.py:18-194)
+in a single XLA program whose outputs come back in a single packed buffer.
 
 Why: the per-volume scoring previously issued ~15 separate D2H fetches
 (6 reco-error scalars, slice scores, volume score, 4 seg-metric scalars, the
 full residual volume, aux scalars). On a tunneled TPU transport each fetch is
-a round trip on a 12-27 MB/s link — the measured ~2.2 s/volume host gap of
-the orchestrated eval lived here, not in compute. This program returns:
+a round trip on a 12-27 MB/s high-RTT link — the measured ~2.2 s/volume host
+gap of the orchestrated eval lived here, not in compute. Round 2 collapsed
+this to three packed fetches; this version collapses it further to ONE:
 
-* ``diff``        [H,W,D] f32  — stays ON DEVICE (val-stage threshold pooling
-                                 consumes it device-side; never fetched)
-* ``thresholded`` [ceil(HWD/8)] uint8 — the binary map BIT-PACKED on device
-                                 (jnp.packbits), ONE 1-bit/voxel fetch for the
-                                 host-side connected-component filter (the only
-                                 genuinely host-bound step, scipy label). At
-                                 160x190x160 eval resolution this turns a
-                                 ~4.9 MB D2H fetch into ~0.6 MB — on the
-                                 12-27 MB/s tunnel that is the difference
-                                 between ~0.3 s and ~30 ms per volume;
-                                 bit-identical after np.unpackbits.
-* ``scalars``     [13] f32     — all per-volume scalars, ONE fetch
-* ``per_slice``   [D,5] f32    — slice scores + per-slice TP/FP/FN/|seg|
-                                 reductions, ONE fetch
+* ``diff``   [H,W,D] f32 — stays ON DEVICE (val-stage threshold pooling
+                           consumes it device-side; never fetched)
+* ``packed`` [B] uint8   — one contiguous buffer carrying, in order:
+    - per-volume scalars (reco errors, volume score, AUROC/AUPRC/best-dice/
+      thresholds, lesion size, squared Hausdorff pair, the model-forward
+      eval loss)                       … N_SCALARS x 4 bytes, f32 bitcast
+    - per-slice reductions [D, 5]      … D x 5 x 4 bytes, f32 bitcast
+      (slice anomaly scores + per-slice |seg|/TP/FP/FN at the recorded
+      threshold, ref :137-183)
+    - the slice-mean conditioning latent [L] (ref DDPM_2D.py:214-223)
+                                       … L x 4 bytes, f32 bitcast
+    - the thresholded binary map BIT-PACKED (jnp.packbits): 1 bit/voxel for
+      the host-side connected-component filter — at 160x190x160 eval
+      resolution a ~4.9 MB fetch becomes ~0.6 MB; bit-identical after
+      np.unpackbits                    … ceil(HWD/8) bytes
+    - optionally the binarized seg volume, also bit-packed (only when the
+      caller's seg lives on device, preprocess_backend='device')
+
+`parse_packed` splits the fetched buffer back into numpy views.
 
 Threshold semantics (ref utils_eval.py:84-93): `th_record` overrides the
 greedy-search threshold in the test stage (the val-fit self.threshold-total);
 `th_apply` additionally overrides with a fixed cfg.threshold. NaN means
 "use the search result" — traced scalars, so stage/fixed-threshold changes
 never recompile.
+
+Hausdorff (ref :132-135 via monai): with `with_hausdorff=True` (requires the
+device CC filter so the map is final) the exact separable squared-EDT surface
+Hausdorff pair (eval/hausdorff.py) is computed inside the same program and
+returned through the scalar block — squared distances are integers < 2^24,
+exact in f32; the host takes sqrt(max). -1 signals an empty mask (host maps
+it to NaN, the monai convention the reference filters, utils_eval.py:255).
 """
 from __future__ import annotations
 
@@ -46,20 +59,31 @@ from .postprocess import (
     volume_anomaly_score,
 )
 
-# order of the packed per-volume scalar vector
+# order of the packed per-volume scalar block. 'haus_pt'/'haus_tp' are the
+# SQUARED directed surface-Hausdorff distances (-1 = empty mask, NaN = not
+# computed on device); 'aux_loss' is the model-forward eval loss (NaN when the
+# caller passed none).
 SCALAR_KEYS = (
     "l1recoErrorAll", "l2recoErrorAll", "l1recoErrorUnhealthy",
     "l1recoErrorHealthy", "l2recoErrorUnhealthy", "l2recoErrorHealthy",
     "vol_score", "auroc", "auprc", "best_dice", "th_record", "th_apply",
-    "lesion_size",
+    "lesion_size", "haus_pt", "haus_tp", "aux_loss",
 )
+N_SCALARS = len(SCALAR_KEYS)
+PER_SLICE_KEYS = ("slice_score", "seg_size", "tp", "fp", "fn")
+
+
+def _f32_bytes(x: jax.Array) -> jax.Array:
+    """Bitcast an f32 array to a flat uint8 byte stream (device + host share
+    little-endian layout on every platform this runs on)."""
+    return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint8).ravel()
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "residualmode", "erode_iterations", "median_kernel", "eval_seg",
-        "cc_min_size",
+        "cc_min_size", "pack_seg", "with_hausdorff",
     ),
 )
 def volume_eval_program(
@@ -69,6 +93,8 @@ def volume_eval_program(
     seg: jax.Array,  # [H, W, D]
     th_record: jax.Array,  # scalar; NaN -> greedy-search best threshold
     th_apply: jax.Array,  # scalar; NaN -> th_record
+    aux_loss: jax.Array,  # scalar; the model-forward eval loss (NaN = none)
+    aux_latent: jax.Array,  # [L] slice-mean conditioning latent (L may be 0)
     *,
     residualmode: str = "l1",
     erode_iterations: int = 3,
@@ -76,6 +102,9 @@ def volume_eval_program(
     eval_seg: bool = True,
     cc_min_size: int = 0,  # >0: apply the connected-component filter ON
     # DEVICE (eval/cc.py) before packing, so the host skips scipy entirely
+    pack_seg: bool = False,  # append the bit-packed binarized seg volume
+    with_hausdorff: bool = False,  # compute the Hausdorff pair in-program
+    # (requires cc_min_size > 0: the map must be final before the surfaces)
 ):
     orig = orig.astype(jnp.float32)
     reco = reco.astype(jnp.float32)
@@ -118,26 +147,104 @@ def volume_eval_program(
         tp_s = fp_s = fn_s = jnp.zeros((d,), jnp.float32)
         seg_sz = (seg_b.sum(axis=(0, 1))).astype(jnp.float32)
 
-    scalars = jnp.stack([
-        errs["l1recoErrorAll"], errs["l2recoErrorAll"],
-        errs["l1recoErrorUnhealthy"], errs["l1recoErrorHealthy"],
-        errs["l2recoErrorUnhealthy"], errs["l2recoErrorHealthy"],
-        vol_score, auroc, ap, best_dice, th_rec, th_app, lesion,
-    ])
-    per_slice = jnp.stack([slice_scores, seg_sz, tp_s, fp_s, fn_s], axis=-1)
     if cc_min_size > 0 and eval_seg:
         from .cc import filter_3d_connected_components_device
 
         thresholded = filter_3d_connected_components_device(
             thresholded, cc_min_size
         )
-    return diff, jnp.packbits(thresholded.ravel()), scalars, per_slice
+
+    nan = jnp.float32(jnp.nan)
+    if with_hausdorff and eval_seg:
+        assert cc_min_size > 0, (
+            "with_hausdorff requires the device CC filter (cc_min_size > 0): "
+            "Hausdorff must see the final component-filtered map"
+        )
+        from .hausdorff import _edt2, _surface
+
+        ps = _surface(thresholded)
+        ts = _surface(seg_b)
+        d_pt = jnp.max(jnp.where(ps, _edt2(ts), jnp.float32(0)))
+        d_tp = jnp.max(jnp.where(ts, _edt2(ps), jnp.float32(0)))
+        empty = ~thresholded.any() | ~seg_b.any()
+        haus_pt = jnp.where(empty, jnp.float32(-1), d_pt)
+        haus_tp = jnp.where(empty, jnp.float32(-1), d_tp)
+    else:
+        haus_pt = haus_tp = nan
+
+    scalars = jnp.stack([
+        errs["l1recoErrorAll"], errs["l2recoErrorAll"],
+        errs["l1recoErrorUnhealthy"], errs["l1recoErrorHealthy"],
+        errs["l2recoErrorUnhealthy"], errs["l2recoErrorHealthy"],
+        vol_score, auroc, ap, best_dice, th_rec, th_app, lesion,
+        haus_pt, haus_tp, aux_loss.astype(jnp.float32),
+    ])
+    per_slice = jnp.stack([slice_scores, seg_sz, tp_s, fp_s, fn_s], axis=-1)
+
+    segments = [
+        _f32_bytes(scalars),
+        _f32_bytes(per_slice),
+        _f32_bytes(aux_latent),
+        jnp.packbits(thresholded.ravel()),
+    ]
+    if pack_seg:
+        segments.append(jnp.packbits(seg_b.ravel()))
+    return diff, jnp.concatenate(segments)
+
+
+def packed_layout(shape, latent_len: int, pack_seg: bool):
+    """Byte offsets of the packed buffer's segments for `parse_packed`."""
+    n = 1
+    for s in shape:
+        n *= s
+    d = shape[-1]
+    nbits = (n + 7) // 8
+    o_scalars = 0
+    o_slice = o_scalars + N_SCALARS * 4
+    o_latent = o_slice + d * 5 * 4
+    o_thresh = o_latent + latent_len * 4
+    o_seg = o_thresh + nbits
+    total = o_seg + (nbits if pack_seg else 0)
+    return o_scalars, o_slice, o_latent, o_thresh, o_seg, total
+
+
+def parse_packed(buf, shape, latent_len: int, pack_seg: bool) -> dict:
+    """Split the ONE fetched uint8 buffer into host views:
+    {'scalars': {key: float}, 'per_slice': [D,5] f32, 'latent': [L] f32,
+     'thresholded': bool [H,W,D], 'seg': bool [H,W,D] | None}."""
+    import numpy as np
+
+    buf = np.asarray(buf)
+    o_sc, o_sl, o_la, o_th, o_se, total = packed_layout(shape, latent_len, pack_seg)
+    assert buf.size == total, (buf.size, total)
+    n = 1
+    for s in shape:
+        n *= s
+    d = shape[-1]
+    scalars = np.frombuffer(buf[o_sc:o_sl].tobytes(), "<f4")
+    per_slice = np.frombuffer(buf[o_sl:o_la].tobytes(), "<f4").reshape(d, 5)
+    latent = np.frombuffer(buf[o_la:o_th].tobytes(), "<f4")
+    thresholded = (
+        np.unpackbits(buf[o_th:o_se], count=n).reshape(shape).astype(bool)
+    )
+    seg = (
+        np.unpackbits(buf[o_se:], count=n).reshape(shape).astype(bool)
+        if pack_seg
+        else None
+    )
+    return {
+        "scalars": dict(zip(SCALAR_KEYS, scalars.tolist())),
+        "per_slice": per_slice,
+        "latent": latent,
+        "thresholded": thresholded,
+        "seg": seg,
+    }
 
 
 def unpack_thresholded(packed, shape) -> "np.ndarray":  # noqa: F821
     """Host-side inverse of the device packbits: [ceil(N/8)] uint8 -> bool
-    volume of `shape` (numpy import deferred — this is the only host-side
-    function in this module)."""
+    volume of `shape` (numpy import deferred — this is the only other
+    host-side function in this module)."""
     import numpy as np
 
     n = 1

@@ -33,21 +33,15 @@ import numpy as np
 
 from . import metrics as M
 from . import postprocess as P
-from .fused import SCALAR_KEYS, unpack_thresholded, volume_eval_program
+from .fused import parse_packed, volume_eval_program
 
 HEALTHY_SETS = ("IXI",)
 
 # volumes above this voxel count score through the ONE-dispatch fused device
-# program (three packed fetches); smaller ones take the host/sklearn path
+# program (ONE packed fetch); smaller ones take the host/sklearn path
 # (fetch cost is negligible and tiny-array device sorts are not worth a
 # compile). Tests lower this to force the fused path on small fixtures.
 FUSED_MIN_VOXELS = 100_000
-
-
-@jax.jit
-def _packbits_mask(v):
-    """Binarize + bit-pack a device volume for a 1-bit/voxel D2H fetch."""
-    return jnp.packbits((v > 0).ravel())
 
 
 def get_eval_dictionary() -> dict:
@@ -484,10 +478,10 @@ class EvalSession:
         data_seg=None,  # the CALLER's seg: host numpy in host-preprocess mode
     ) -> None:
         """Large-volume scoring through `volume_eval_program`: one device
-        dispatch, three packed D2H fetches (scalars, per-slice reductions,
-        thresholded bool map), the residual kept on device for the val-stage
-        threshold pooling. Produces the same eval_dict rows as the host path
-        (parity-tested)."""
+        dispatch, ONE packed D2H fetch (scalars + Hausdorff + eval loss +
+        latent + per-slice reductions + bit-packed threshold/seg maps), the
+        residual kept on device for the val-stage threshold pooling. Produces
+        the same eval_dict rows as the host path (parity-tested)."""
         cfg = self.cfg
         eval_seg = cfg.eval_seg and not self.is_healthy
         erode_iters = int(orig.shape[1]) // 25 if cfg.erode_brainmask else 0
@@ -500,22 +494,63 @@ class EvalSession:
                 th_apply = float(cfg.threshold)
 
         cc_on_device = cfg.cc_backend == "device"
-        diff_dev, thresholded_dev, scalars_dev, per_slice_dev = volume_eval_program(
+        hd_in_program = (
+            eval_seg and cc_on_device and cfg.hausdorff_backend == "device"
+        )
+        # seg volumes that live on device (preprocess_backend='device') come
+        # back inside the same packed fetch, bit-packed; host-resident ones
+        # never cross the link at all
+        pack_seg = eval_seg and seg_available and not isinstance(
+            data_seg, np.ndarray
+        )
+        have_loss = aux is not None and aux.get("loss") is not None
+        have_latent = aux is not None and aux.get("latent") is not None
+        aux_loss = (
+            jnp.asarray(aux["loss"], jnp.float32)
+            if have_loss
+            else jnp.float32(jnp.nan)
+        )
+        aux_latent = (
+            jnp.asarray(aux["latent"], jnp.float32)
+            if have_latent
+            else jnp.zeros((0,), jnp.float32)
+        )
+
+        diff_dev, packed_dev = volume_eval_program(
             orig, final_volume, mask, seg,
             jnp.float32(th_record), jnp.float32(th_apply),
+            aux_loss, aux_latent,
             residualmode=cfg.residualmode,
             erode_iterations=erode_iters,
             median_kernel=cfg.kernelsize_median if cfg.median_filtering else 1,
             eval_seg=eval_seg,
             cc_min_size=cfg.cc_min_size if cc_on_device else 0,
+            pack_seg=pack_seg,
+            with_hausdorff=hd_in_program,
         )
-        s = dict(zip(SCALAR_KEYS, np.asarray(scalars_dev).tolist()))  # 1 fetch
-        per_slice = np.asarray(per_slice_dev)  # 1 fetch [D, 5]
+        parsed = parse_packed(  # the ONE per-volume D2H fetch
+            packed_dev, tuple(orig.shape), int(aux_latent.shape[0]), pack_seg
+        )
+        s = parsed["scalars"]
+        per_slice = parsed["per_slice"]
         slice_scores = per_slice[:, 0]
         seg_sz = per_slice[:, 1]
         vol_score = s["vol_score"]
+        # the packed fetch already carried the aux values — hand the host
+        # floats (not device scalars) to the shared recorder below
+        if aux is not None:
+            aux = dict(aux)
+            if have_loss:
+                aux["loss"] = s["aux_loss"]
+            if have_latent:
+                aux["latent"] = parsed["latent"]
 
-        rec: list = [(k, "append", s[k]) for k in SCALAR_KEYS[:6]]
+        rec: list = [
+            (k, "append", s[k])
+            for k in ("l1recoErrorAll", "l2recoErrorAll", "l1recoErrorUnhealthy",
+                      "l1recoErrorHealthy", "l2recoErrorUnhealthy",
+                      "l2recoErrorHealthy")
+        ]
 
         if cfg.save_output_images:  # opt-in debugging: fetches the images
             self._log_images(
@@ -526,24 +561,32 @@ class EvalSession:
 
         if eval_seg:
             # connected components + metrics on the CC-filtered map (ref
-            # :100-135); the binary map arrives bit-packed (1 bit/voxel over
-            # the slow D2H link). With cc_backend='device' the filter already
-            # ran inside the fused program; otherwise scipy labels it here
-            thresholded = unpack_thresholded(thresholded_dev, orig.shape)
+            # :100-135); the binary map arrived bit-packed inside the single
+            # fetch. With cc_backend='device' the filter already ran inside
+            # the fused program; otherwise scipy labels it here
+            thresholded = parsed["thresholded"]
             if not cc_on_device:
                 thresholded = M.filter_3d_connected_components(
                     thresholded, min_size=cfg.cc_min_size
                 )
-            if not seg_available:
+            if pack_seg:
+                # device-resident seg (preprocess_backend=device): it rode the
+                # same packed fetch, 1 bit/voxel
+                seg_np = parsed["seg"]
+            elif not seg_available:
                 seg_np = np.zeros(thresholded.shape, bool)
-            elif isinstance(data_seg, np.ndarray):
+            else:
                 # host-preprocessed subjects: binarize the ORIGINAL host
                 # array — no device round trip
                 seg_np = np.asarray(data_seg) > 0
+            if hd_in_program:
+                a, b = s["haus_pt"], s["haus_tp"]
+                haus = (
+                    float("nan") if (a < 0 or b < 0)
+                    else float(np.sqrt(max(a, b)))
+                )
             else:
-                # device-resident seg (preprocess_backend=device): fetch it
-                # bit-packed like the threshold map (1 bit/voxel, not 4 bytes)
-                seg_np = unpack_thresholded(_packbits_mask(seg), seg.shape)
+                haus = self._hausdorff(thresholded, seg_np)
             TP, FP, TN, FN = M.confusion_counts(thresholded, seg_np)
             prec = TP / (TP + FP) if (TP + FP) > 0 else 0.0
             recall = TP / (TP + FN) if (TP + FN) > 0 else 0.0
@@ -567,7 +610,7 @@ class EvalSession:
                 ("PrecisionPerVol", "append", prec),
                 ("RecallPerVol", "append", recall),
                 ("SpecificityPerVol", "append", spec),
-                ("HausPerVol", "append", self._hausdorff(thresholded, seg_np)),
+                ("HausPerVol", "append", haus),
             ])
 
             # per-slice metrics from the device reductions (ref :137-144)

@@ -1,7 +1,7 @@
 """Parity of the ONE-dispatch fused per-volume eval program vs the host path.
 
 The fused program (eval/fused.py) collapses the per-volume scoring into a
-single device dispatch with three packed fetches; every eval_dict row it
+single device dispatch with ONE packed fetch; every eval_dict row it
 produces must match the host/sklearn path (the reference-shaped
 implementation of utils_eval.py:18-194) on the same inputs.
 """
@@ -62,13 +62,18 @@ def test_packed_thresholded_roundtrip():
     assert out.dtype == bool and (out == m).all()
 
 
-@pytest.mark.parametrize("cc_backend", ["host", "device"])
+@pytest.mark.parametrize(
+    "cc_backend,hausdorff_backend",
+    [("host", "host"), ("device", "host"), ("host", "device"),
+     ("device", "device")],  # the last runs Hausdorff INSIDE the fused program
+)
 @pytest.mark.parametrize("stage", ["val", "test"])
-def test_fused_matches_host_path(monkeypatch, stage, cc_backend):
+def test_fused_matches_host_path(monkeypatch, stage, cc_backend,
+                                 hausdorff_backend):
     threshold = {"total": 0.21} if stage == "test" else None
     a = _run_session(monkeypatch, fused=False, stage=stage, val_threshold=threshold)
     b = _run_session(monkeypatch, fused=True, stage=stage, val_threshold=threshold,
-                     cc_backend=cc_backend)
+                     cc_backend=cc_backend, hausdorff_backend=hausdorff_backend)
     for k in COMPARE_KEYS:
         va = np.asarray(a.eval_dict[k], np.float64)
         vb = np.asarray(b.eval_dict[k], np.float64)
@@ -153,6 +158,57 @@ def test_fused_healthy_set_quantiles(monkeypatch):
         )
     # healthy sets produce no seg metrics on either path
     assert a.eval_dict["AUCPerVol"] == [] and b.eval_dict["AUCPerVol"] == []
+
+
+def test_fused_aux_through_packed_fetch(monkeypatch):
+    """aux loss/latent ride the single packed buffer: the fused path must
+    record the same latentSpace / AnomalyScoreRegPerVol values as the host
+    path given device-scalar aux inputs."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    vol, reco, seg, mask = _volume(rng)
+    latent = np.linspace(-1, 1, 24).astype(np.float32)
+    runs = {}
+    for fused in (False, True):
+        monkeypatch.setattr(H, "FUSED_MIN_VOXELS", 100_000 if fused else 10**12)
+        sess = EvalSession(EvalConfig(), "Brats21", "val")
+        aux = {"loss": jnp.float32(0.375), "latent": jnp.asarray(latent),
+               "score_fn": None}
+        sess.test_step(reco, vol, seg, mask, 0, "id0", 1, aux=aux)
+        runs[fused] = sess.eval_dict
+    for d in runs.values():
+        assert d["AnomalyScoreRegPerVol"] == [0.375]
+        np.testing.assert_allclose(d["latentSpace"][0], latent, rtol=1e-6)
+    np.testing.assert_allclose(
+        runs[True]["AnomalyScoreRecoPerVol"], runs[False]["AnomalyScoreRecoPerVol"],
+        rtol=1e-5,
+    )
+
+
+def test_fused_device_resident_seg(monkeypatch):
+    """preprocess_backend='device' hands the harness a device-resident seg:
+    it must come back inside the same packed fetch (pack_seg) and reproduce
+    the host-array results."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    vol, reco, seg, mask = _volume(rng)
+    monkeypatch.setattr(H, "FUSED_MIN_VOXELS", 100_000)
+    results = {}
+    for name, seg_in in (("host", seg), ("device", jnp.asarray(seg))):
+        sess = EvalSession(EvalConfig(cc_backend="device",
+                                      hausdorff_backend="device"),
+                           "Brats21", "val")
+        sess.test_step(reco, vol, seg_in, mask, 0, "id0", 1)
+        results[name] = sess.eval_dict
+    for k in ("DiceScorePerVol", "TPPerVol", "FPPerVol", "HausPerVol",
+              "PrecisionPerVol", "RecallPerVol"):
+        np.testing.assert_allclose(
+            np.asarray(results["host"][k], np.float64),
+            np.asarray(results["device"][k], np.float64),
+            rtol=1e-6, err_msg=k,
+        )
 
 
 def test_fused_fixed_threshold(monkeypatch):

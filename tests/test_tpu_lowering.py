@@ -24,10 +24,12 @@ def test_fused_eval_program_lowers_for_tpu():
 
     v = S((64, 64, 32), jnp.float32)
     sc = S((), jnp.float32)
+    lat = S((16,), jnp.float32)
     _export_tpu(
         partial(volume_eval_program, residualmode="l1", erode_iterations=2,
-                median_kernel=5, eval_seg=True, cc_min_size=8),
-        v, v, v, v, sc, sc,
+                median_kernel=5, eval_seg=True, cc_min_size=8, pack_seg=True,
+                with_hausdorff=True),
+        v, v, v, v, sc, sc, sc, lat,
     )
 
 
