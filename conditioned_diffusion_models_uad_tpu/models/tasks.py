@@ -101,6 +101,17 @@ class DDPMTaskConfig:
     # optimizer (reference Adam(lr), DDPM_2D.py:305-306)
     lr: float = 1e-4
 
+    def __post_init__(self):
+        # an eval timestep past the schedule would silently gather garbage
+        # schedule entries (NaN reconstructions) — fail at config time instead
+        bad = [t for t in (*self.step_ensemble, self.test_timesteps)
+               if t > self.timesteps]
+        if bad:
+            raise ValueError(
+                f"eval timesteps {bad} exceed timesteps={self.timesteps} "
+                "(step_ensemble / test_timesteps index the noise schedule)"
+            )
+
     @property
     def unet_config(self) -> UNetConfig:
         return UNetConfig(

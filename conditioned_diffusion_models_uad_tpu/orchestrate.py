@@ -144,18 +144,25 @@ def evaluate(
                     # one device program per group. group_n=1 keeps the
                     # per-volume fold_in(key, i) noise draws exactly; larger
                     # groups run the UNet at group x depth x ensemble batch
-                    # (batch-576 layout at group 2) under one key
+                    # (batch-576 layout at group 2) under one key. A short
+                    # TAIL group (dataset size not a multiple of group_n) is
+                    # padded by repeating its last volume so it reuses the
+                    # full-group compiled program — a second single-volume
+                    # executable would cost a whole extra XLA compile (~60 s
+                    # on the tunnel) to save one duplicated reconstruction
                     t0 = _t.perf_counter()
-                    if len(group) == 1:
+                    if group_n == 1:
                         i0, sub0 = group[0]
                         res = [recon(variables, sub0["vol"],
                                      jax.random.fold_in(key, i0),
                                      return_aux=True)]
                     else:
+                        vols = [s["vol"] for _, s in group]
+                        vols += [vols[-1]] * (group_n - len(group))
                         res = recon.batch_call(
-                            variables, [s["vol"] for _, s in group],
+                            variables, vols,
                             jax.random.fold_in(key, group[0][0]),
-                        )
+                        )[: len(group)]
                     t1 = _t.perf_counter()
                     ph["recon"] += t1 - t0
                     for (i, sub), (reco, raux) in zip(group, res):

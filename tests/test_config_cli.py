@@ -128,14 +128,14 @@ def test_override_derived_run_dir(tmp_path):
 
     tree = compose(
         CONFIG_DIR, "cDDPM/DDPM_cond_spark_2D",
-        ["name=exp1", "run_dir_template=true", "model.timesteps=20",
+        ["name=exp1", "run_dir_template=true", "model.timesteps=800",
          "trainer.max_epochs=2", "datamodule.sample_set=true",
          f"log_dir={tmp_path}"],
     )
     cfg = materialize(tree)
     base = os.path.basename(cfg.run_dir)
     assert base == (
-        "DDPM_2D_IXI_exp1_model.timesteps-20_trainer.max_epochs-2"
+        "DDPM_2D_IXI_exp1_model.timesteps-800_trainer.max_epochs-2"
     )
     # excluded keys (sample_set) and name= itself never leak into the dirname
     assert "sample_set" not in base and "exp1_name" not in base

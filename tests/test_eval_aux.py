@@ -26,13 +26,14 @@ from conditioned_diffusion_models_uad_tpu.models.tasks import (
 TINY = dict(
     image_hw=(32, 32), cond_dim=16, encoder_backbone="resnet18",
     timesteps=20, unet_dim=32, num_res_blocks=1, channel_mult=(1, 2),
-    attention_resolutions=(), test_timesteps=10, dtype="float32",
+    attention_resolutions=(), test_timesteps=10, step_ensemble=(5, 10),
+    dtype="float32",
 )
 
 
 @pytest.fixture(scope="module")
 def ddpm():
-    task = DDPMTask(DDPMTaskConfig(**TINY, step_ensemble=(5, 10)))
+    task = DDPMTask(DDPMTaskConfig(**TINY))
     return task, task.init(jax.random.PRNGKey(0))
 
 

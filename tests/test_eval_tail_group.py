@@ -1,0 +1,71 @@
+"""Grouped eval dispatch with a short TAIL group (dataset size not a multiple
+of eval.volumes_per_call): the tail must be padded to the full group size so
+it reuses the full-group compiled reconstruction program (a second
+single-volume executable would cost an extra XLA compile), while the padded
+duplicate's results are discarded — per-volume counts, order, and IDs intact.
+Reference counterpart: the torch loop evaluates volumes one at a time
+(src/models/DDPM_2D.py:193-257); grouping is a TPU-side dispatch optimization
+and must be invisible in the eval_dict.
+"""
+import jax
+import numpy as np
+import pytest
+
+from conditioned_diffusion_models_uad_tpu.config import RunConfig
+from conditioned_diffusion_models_uad_tpu.data.datamodules import DataConfig
+from conditioned_diffusion_models_uad_tpu.data.synthetic import build_synthetic_root
+from conditioned_diffusion_models_uad_tpu.eval.harness import EvalConfig
+from conditioned_diffusion_models_uad_tpu.eval.reconstruct import VolumeReconstructor
+from conditioned_diffusion_models_uad_tpu.models.tasks import DDPMTask, DDPMTaskConfig
+from conditioned_diffusion_models_uad_tpu.orchestrate import evaluate
+
+TINY = dict(
+    image_hw=(32, 32), cond_dim=16, encoder_backbone="resnet18",
+    timesteps=20, unet_dim=32, num_res_blocks=1, channel_mult=(1, 2),
+    attention_resolutions=(), test_timesteps=10, step_ensemble=(5, 10),
+    dtype="float32",
+)
+
+
+class _NullLogger:
+    def log_metrics(self, metrics, step=0):
+        pass
+
+
+def test_tail_group_pads_to_full_group(tmp_path, monkeypatch):
+    root = build_synthetic_root(
+        str(tmp_path / "data"), shape=(64, 64, 40), n_train=1, n_val=1,
+        n_test=1, n_eval=3, eval_sets=("Brats21",),
+    )
+    cfg = RunConfig(
+        name="tail_group", seed=0, log_dir=str(tmp_path / "logs"),
+        model=DDPMTaskConfig(**TINY),
+        data=DataConfig(data_dir=root, image_dim=(64, 64, 40),
+                        rescale_factor=2.0, testsets=("Brats21",)),
+        eval=EvalConfig(save_output_images=False),
+    )
+    cfg.eval.volumes_per_call = 2
+    cfg.eval.out_dir = cfg.run_dir
+
+    task = DDPMTask(cfg.model)
+    variables = task.init(jax.random.PRNGKey(0))
+
+    group_sizes = []
+    orig_bc = VolumeReconstructor.batch_call
+
+    def spy(self, variables, vols, key):
+        group_sizes.append(len(vols))
+        return orig_bc(self, variables, vols, key)
+
+    monkeypatch.setattr(VolumeReconstructor, "batch_call", spy)
+    preds = evaluate(cfg, task, variables, fold=0, logger=_NullLogger())
+
+    # 3 volumes x (val, test): each stage dispatches one pair + one padded
+    # tail — every device call sees the FULL group size (one compiled shape)
+    assert group_sizes == [2, 2, 2, 2]
+    for stage in ("val", "test"):
+        ev = preds[stage]["Brats21"]
+        assert len(ev["IDs"]) == 3
+        assert len(set(ev["IDs"])) == 3
+        assert len(ev["AnomalyScoreRegPerVol"]) == 3
+        assert np.isfinite(ev["DicePerVolMean"])
