@@ -68,6 +68,10 @@ SCALAR_KEYS = (
     "l1recoErrorHealthy", "l2recoErrorUnhealthy", "l2recoErrorHealthy",
     "vol_score", "auroc", "auprc", "best_dice", "th_record", "th_apply",
     "lesion_size", "haus_pt", "haus_tp", "aux_loss",
+    # confusion counts of the FINAL (CC-filtered) map vs seg, computed
+    # in-program when the device CC filter ran (NaN otherwise) — with these
+    # the host needs no map fetch at all when Hausdorff is also on device
+    "tp", "fp", "tn", "fn",
 )
 N_SCALARS = len(SCALAR_KEYS)
 PER_SLICE_KEYS = ("slice_score", "seg_size", "tp", "fp", "fn")
@@ -83,7 +87,7 @@ def _f32_bytes(x: jax.Array) -> jax.Array:
     jax.jit,
     static_argnames=(
         "residualmode", "erode_iterations", "median_kernel", "eval_seg",
-        "cc_min_size", "pack_seg", "with_hausdorff",
+        "cc_min_size", "pack_seg", "with_hausdorff", "pack_maps",
     ),
 )
 def volume_eval_program(
@@ -105,6 +109,10 @@ def volume_eval_program(
     pack_seg: bool = False,  # append the bit-packed binarized seg volume
     with_hausdorff: bool = False,  # compute the Hausdorff pair in-program
     # (requires cc_min_size > 0: the map must be final before the surfaces)
+    pack_maps: bool = True,  # False: omit BOTH bit-packed maps from the
+    # buffer — valid when every map consumer runs in-program (device CC +
+    # device Hausdorff + the confusion-count scalars); saves the dominant
+    # share of the fetch and the host-side unpackbits/numpy passes
 ):
     orig = orig.astype(jnp.float32)
     reco = reco.astype(jnp.float32)
@@ -155,6 +163,16 @@ def volume_eval_program(
         )
 
     nan = jnp.float32(jnp.nan)
+    if eval_seg and cc_min_size > 0:
+        # confusion counts of the final map (all other per-volume ratios —
+        # dice/precision/recall/specificity/accuracy/TPR/FPR — derive from
+        # these four on host; ref utils_eval.py:108-135)
+        tp = (thresholded & seg_b).sum().astype(jnp.float32)
+        fp = (thresholded & ~seg_b).sum().astype(jnp.float32)
+        fn = ((~thresholded) & seg_b).sum().astype(jnp.float32)
+        tn = jnp.float32(seg_b.size) - tp - fp - fn
+    else:
+        tp = fp = tn = fn = nan
     if with_hausdorff and eval_seg:
         assert cc_min_size > 0, (
             "with_hausdorff requires the device CC filter (cc_min_size > 0): "
@@ -178,6 +196,7 @@ def volume_eval_program(
         errs["l2recoErrorUnhealthy"], errs["l2recoErrorHealthy"],
         vol_score, auroc, ap, best_dice, th_rec, th_app, lesion,
         haus_pt, haus_tp, aux_loss.astype(jnp.float32),
+        tp, fp, tn, fn,
     ])
     per_slice = jnp.stack([slice_scores, seg_sz, tp_s, fp_s, fn_s], axis=-1)
 
@@ -185,37 +204,41 @@ def volume_eval_program(
         _f32_bytes(scalars),
         _f32_bytes(per_slice),
         _f32_bytes(aux_latent),
-        jnp.packbits(thresholded.ravel()),
     ]
-    if pack_seg:
-        segments.append(jnp.packbits(seg_b.ravel()))
+    if pack_maps:
+        segments.append(jnp.packbits(thresholded.ravel()))
+        if pack_seg:
+            segments.append(jnp.packbits(seg_b.ravel()))
     return diff, jnp.concatenate(segments)
 
 
-def packed_layout(shape, latent_len: int, pack_seg: bool):
+def packed_layout(shape, latent_len: int, pack_seg: bool, pack_maps: bool = True):
     """Byte offsets of the packed buffer's segments for `parse_packed`."""
     n = 1
     for s in shape:
         n *= s
     d = shape[-1]
-    nbits = (n + 7) // 8
+    nbits = (n + 7) // 8 if pack_maps else 0
     o_scalars = 0
     o_slice = o_scalars + N_SCALARS * 4
     o_latent = o_slice + d * 5 * 4
     o_thresh = o_latent + latent_len * 4
     o_seg = o_thresh + nbits
-    total = o_seg + (nbits if pack_seg else 0)
+    total = o_seg + (nbits if (pack_seg and pack_maps) else 0)
     return o_scalars, o_slice, o_latent, o_thresh, o_seg, total
 
 
-def parse_packed(buf, shape, latent_len: int, pack_seg: bool) -> dict:
+def parse_packed(buf, shape, latent_len: int, pack_seg: bool,
+                 pack_maps: bool = True) -> dict:
     """Split the ONE fetched uint8 buffer into host views:
     {'scalars': {key: float}, 'per_slice': [D,5] f32, 'latent': [L] f32,
-     'thresholded': bool [H,W,D], 'seg': bool [H,W,D] | None}."""
+     'thresholded': bool [H,W,D] | None, 'seg': bool [H,W,D] | None}."""
     import numpy as np
 
     buf = np.asarray(buf)
-    o_sc, o_sl, o_la, o_th, o_se, total = packed_layout(shape, latent_len, pack_seg)
+    o_sc, o_sl, o_la, o_th, o_se, total = packed_layout(
+        shape, latent_len, pack_seg, pack_maps
+    )
     assert buf.size == total, (buf.size, total)
     n = 1
     for s in shape:
@@ -226,10 +249,12 @@ def parse_packed(buf, shape, latent_len: int, pack_seg: bool) -> dict:
     latent = np.frombuffer(buf[o_la:o_th].tobytes(), "<f4")
     thresholded = (
         np.unpackbits(buf[o_th:o_se], count=n).reshape(shape).astype(bool)
+        if pack_maps
+        else None
     )
     seg = (
         np.unpackbits(buf[o_se:], count=n).reshape(shape).astype(bool)
-        if pack_seg
+        if (pack_seg and pack_maps)
         else None
     )
     return {

@@ -493,14 +493,22 @@ class EvalSession:
             if cfg.threshold != "auto":
                 th_apply = float(cfg.threshold)
 
-        cc_on_device = cfg.cc_backend == "device"
+        # cc_min_size <= 0 means no filtering at all — the fused program then
+        # computes neither the filtered map nor the confusion counts, so fall
+        # back to the host-map path in that (degenerate) configuration
+        cc_on_device = cfg.cc_backend == "device" and cfg.cc_min_size > 0
         hd_in_program = (
             eval_seg and cc_on_device and cfg.hausdorff_backend == "device"
         )
+        # the binary maps only need to reach the host when a map consumer
+        # runs there (scipy CC filter or bbox Hausdorff); with both on device
+        # the confusion-count scalars replace them and the fetch shrinks to
+        # the scalar/per-slice/latent block
+        maps_needed = eval_seg and (not cc_on_device or not hd_in_program)
         # seg volumes that live on device (preprocess_backend='device') come
         # back inside the same packed fetch, bit-packed; host-resident ones
         # never cross the link at all
-        pack_seg = eval_seg and seg_available and not isinstance(
+        pack_seg = maps_needed and seg_available and not isinstance(
             data_seg, np.ndarray
         )
         have_loss = aux is not None and aux.get("loss") is not None
@@ -527,9 +535,11 @@ class EvalSession:
             cc_min_size=cfg.cc_min_size if cc_on_device else 0,
             pack_seg=pack_seg,
             with_hausdorff=hd_in_program,
+            pack_maps=maps_needed,
         )
         parsed = parse_packed(  # the ONE per-volume D2H fetch
-            packed_dev, tuple(orig.shape), int(aux_latent.shape[0]), pack_seg
+            packed_dev, tuple(orig.shape), int(aux_latent.shape[0]), pack_seg,
+            maps_needed,
         )
         s = parsed["scalars"]
         per_slice = parsed["per_slice"]
@@ -561,24 +571,32 @@ class EvalSession:
 
         if eval_seg:
             # connected components + metrics on the CC-filtered map (ref
-            # :100-135); the binary map arrived bit-packed inside the single
-            # fetch. With cc_backend='device' the filter already ran inside
-            # the fused program; otherwise scipy labels it here
-            thresholded = parsed["thresholded"]
-            if not cc_on_device:
-                thresholded = M.filter_3d_connected_components(
-                    thresholded, min_size=cfg.cc_min_size
+            # :100-135). With cc_backend='device' the filter already ran
+            # inside the fused program and the confusion counts arrived in
+            # the scalar block; otherwise the map rode the fetch bit-packed
+            # and scipy labels it here
+            if maps_needed:
+                thresholded = parsed["thresholded"]
+                if not cc_on_device:
+                    thresholded = M.filter_3d_connected_components(
+                        thresholded, min_size=cfg.cc_min_size
+                    )
+                if pack_seg:
+                    # device-resident seg (preprocess_backend=device): it rode
+                    # the same packed fetch, 1 bit/voxel
+                    seg_np = parsed["seg"]
+                elif not seg_available:
+                    seg_np = np.zeros(thresholded.shape, bool)
+                else:
+                    # host-preprocessed subjects: binarize the ORIGINAL host
+                    # array — no device round trip
+                    seg_np = np.asarray(data_seg) > 0
+            if cc_on_device:
+                TP, FP, TN, FN = (
+                    int(s["tp"]), int(s["fp"]), int(s["tn"]), int(s["fn"])
                 )
-            if pack_seg:
-                # device-resident seg (preprocess_backend=device): it rode the
-                # same packed fetch, 1 bit/voxel
-                seg_np = parsed["seg"]
-            elif not seg_available:
-                seg_np = np.zeros(thresholded.shape, bool)
             else:
-                # host-preprocessed subjects: binarize the ORIGINAL host
-                # array — no device round trip
-                seg_np = np.asarray(data_seg) > 0
+                TP, FP, TN, FN = M.confusion_counts(thresholded, seg_np)
             if hd_in_program:
                 a, b = s["haus_pt"], s["haus_tp"]
                 haus = (
@@ -587,14 +605,20 @@ class EvalSession:
                 )
             else:
                 haus = self._hausdorff(thresholded, seg_np)
-            TP, FP, TN, FN = M.confusion_counts(thresholded, seg_np)
             prec = TP / (TP + FP) if (TP + FP) > 0 else 0.0
             recall = TP / (TP + FN) if (TP + FN) > 0 else 0.0
             spec = TN / (TN + FP + 1e-7)
-            acc = (TP + TN) / thresholded.size
+            acc = (TP + TN) / orig.size
+            dice_v = (
+                2 * TP / (2 * TP + FP + FN)
+                if (2 * TP + FP + FN) > 0 else float("nan")
+            )
+            tpr_v = TP / (TP + FN) if (TP + FN) > 0 else float("nan")
+            # reference quirk kept: FPR = FP / (FP + TP) (utils_eval.py:571)
+            fpr_v = FP / (FP + TP) if (FP + TP) > 0 else float("nan")
             rec.extend([
                 ("lesionSizePerVol", "append", int(s["lesion_size"])),
-                ("DiceScorePerVol", "append", M.dice(thresholded, seg_np)),
+                ("DiceScorePerVol", "append", dice_v),
                 ("BestDicePerVol", "append", s["best_dice"]),
                 ("BestThresholdPerVol", "append", s["th_record"]),
                 ("AUCPerVol", "append", s["auroc"]),
@@ -603,8 +627,8 @@ class EvalSession:
                 ("FPPerVol", "append", FP),
                 ("TNPerVol", "append", TN),
                 ("FNPerVol", "append", FN),
-                ("TPRPerVol", "append", M.tpr(thresholded, seg_np)),
-                ("FPRPerVol", "append", M.fpr(thresholded, seg_np)),
+                ("TPRPerVol", "append", tpr_v),
+                ("FPRPerVol", "append", fpr_v),
                 ("IDs", "append", ID),
                 ("AccuracyPerVol", "append", acc),
                 ("PrecisionPerVol", "append", prec),

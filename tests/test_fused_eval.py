@@ -211,6 +211,40 @@ def test_fused_device_resident_seg(monkeypatch):
         )
 
 
+def test_full_device_path_fetches_no_maps(monkeypatch):
+    """cc_backend=device + hausdorff_backend=device: every map consumer runs
+    in-program, so the packed buffer must shrink to the scalar/per-slice/
+    latent block — no bit-packed volumes on the D2H link at all."""
+    import jax.numpy as jnp
+
+    from conditioned_diffusion_models_uad_tpu.eval import fused as F
+
+    rng = np.random.default_rng(13)
+    vol, reco, seg, mask = _volume(rng)
+    monkeypatch.setattr(H, "FUSED_MIN_VOXELS", 100_000)
+
+    sizes = []
+    orig_parse = F.parse_packed
+
+    def spy(buf, shape, latent_len, pack_seg, pack_maps=True):
+        sizes.append((int(np.asarray(buf).size), pack_maps))
+        return orig_parse(buf, shape, latent_len, pack_seg, pack_maps)
+
+    monkeypatch.setattr(H, "parse_packed", spy)
+    sess = EvalSession(
+        EvalConfig(cc_backend="device", hausdorff_backend="device"),
+        "Brats21", "val",
+    )
+    sess.test_step(reco, vol, jnp.asarray(seg), mask, 0, "id0", 1)
+
+    d = vol.shape[-1]
+    expect = F.N_SCALARS * 4 + d * 5 * 4  # no latent, no maps
+    assert sizes == [(expect, False)]
+    # the confusion-count scalars replaced the host-side map metrics
+    assert sess.eval_dict["TPPerVol"][0] > 0
+    assert np.isfinite(sess.eval_dict["DiceScorePerVol"][0])
+
+
 def test_fused_fixed_threshold(monkeypatch):
     a = _run_session(monkeypatch, fused=False, stage="val", threshold=0.3)
     b = _run_session(monkeypatch, fused=True, stage="val", threshold=0.3)
