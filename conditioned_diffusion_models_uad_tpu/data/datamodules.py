@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from .nifti import read_nifti
+from .nifti import read_nifti, read_nifti_raw
 from .transforms import (
     bspline_downsample,
     crop_or_pad,
@@ -129,24 +129,42 @@ def _read_image(path: str, cfg: DataConfig, is_label: bool) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "target", "factor", "perc", "use_cf", "has_mask", "has_seg",
-        "keep_orig", "resized",
+        "keep_orig", "resized", "src_rev",
     ),
 )
 def _preprocess_subject_fused(
-    vol, mask, seg, *, target, factor, perc, use_cf, has_mask, has_seg,
-    keep_orig, resized,
+    vol, mask, seg, scales=None, *, target, factor, perc, use_cf, has_mask,
+    has_seg, keep_orig, resized, src_rev=False,
 ):
     """The whole per-subject pipeline as ONE traced program (same op order as
     the host path: curvature flow on the raw image -> CropOrPad -> masked
     percentile rescale -> bspline/nearest downsample, create_dataset.py:196-258).
-    Outputs stay on the executing device."""
-    vol = vol.astype(jnp.float32)
+    Outputs stay on the executing device.
+
+    src_rev=True: inputs arrive in the file's NATIVE dtype and NATIVE memory
+    order (C-contiguous reversed dims — NIfTI stores x fastest) with `scales`
+    = [[slope, inter], ...] per array. Dtype widening, scl scaling and the
+    rev->xyz transpose then run ON DEVICE — a narrow on-disk dtype crosses the
+    H2D link at stored width and the host never pays the ~50 ms/volume strided
+    transpose copy (single-core loader-feed fix, PARITY.md "loader feed")."""
+
+    def _ingest(x, i):
+        x = x.astype(jnp.float32)
+        if src_rev:
+            x = x * scales[i, 0] + scales[i, 1]
+            x = jnp.transpose(x, tuple(reversed(range(x.ndim))))
+        return x
+
+    vol = _ingest(vol, 0)
+    mask = _ingest(mask, 1) if has_mask else mask.astype(jnp.float32)
+    seg = _ingest(seg, 2) if has_seg else seg.astype(jnp.float32)
     if use_cf:
         vol = curvature_flow(vol)
-    mask = mask.astype(jnp.float32) if has_mask else (vol > 0).astype(jnp.float32)
+    if not has_mask:
+        mask = (vol > 0).astype(jnp.float32)
     vol = crop_or_pad(vol, target)
     mask = crop_or_pad(mask, target)
-    seg = crop_or_pad(seg.astype(jnp.float32), target) if has_seg else None
+    seg = crop_or_pad(seg, target) if has_seg else None
     vol = percentile_rescale(vol, mask, 0.0, 1.0, perc[0], perc[1])
 
     out = {}
@@ -189,27 +207,41 @@ def _read_raw(path: str) -> np.ndarray:
     return vol
 
 
+def _read_raw_rev(path: str):
+    """Raw ingest read: (payload view in native dtype + file memory order,
+    slope, inter). 4D volumes keep their first channel (the outermost axis of
+    the reversed layout — a contiguous zero-copy slice)."""
+    vol, shape, slope, inter = read_nifti_raw(path)
+    if vol.ndim == 4:
+        vol = vol[0]
+    if vol.dtype == np.float64:  # halve the H2D payload for f64 oddballs
+        vol = (vol * slope + inter).astype(np.float32)
+        slope, inter = 1.0, 0.0
+    return vol, np.float32(slope), np.float32(inter)
+
+
 def _load_subject_device(row, cfg: DataConfig, keep_orig: bool) -> dict:
-    """Device-fused variant of `load_subject`: raw NIfTI reads on host, one
-    H2D upload, one fused jit, device-resident jax.Array outputs."""
-    vol = _read_raw(row["img_path"])
+    """Device-fused variant of `load_subject`: zero-copy raw NIfTI decode on
+    host (native dtype, file memory order), one H2D upload at STORED width,
+    one fused jit (device-side widen/scale/transpose/preprocess),
+    device-resident jax.Array outputs."""
+    vol, *vol_sc = _read_raw_rev(row["img_path"])
     has_mask = isinstance(row.get("mask_path", None), str) and bool(row["mask_path"])
     if has_mask:
-        mask = _read_raw(row["mask_path"])
+        mask, *mask_sc = _read_raw_rev(row["mask_path"])
     else:
-        mask = np.zeros((1, 1, 1), np.float32)  # placeholder; derived from vol
+        mask, mask_sc = np.zeros((1, 1, 1), np.float32), [1.0, 0.0]
     seg_path = row.get("seg_path", None)
     seg_available = isinstance(seg_path, str) and bool(seg_path)
     if seg_available:
-        seg = _read_raw(seg_path)
+        seg, *seg_sc = _read_raw_rev(seg_path)
     else:
-        seg = np.zeros((1, 1, 1), np.float32)
+        seg, seg_sc = np.zeros((1, 1, 1), np.float32), [1.0, 0.0]
 
+    scales = np.array([vol_sc, mask_sc, seg_sc], np.float32)
     out = dict(
         _preprocess_subject_fused(
-            np.ascontiguousarray(vol, np.float32),
-            np.ascontiguousarray(mask, np.float32),
-            np.ascontiguousarray(seg, np.float32),
+            vol, mask, seg, scales,
             target=tuple(cfg.image_dim),
             factor=cfg.rescale_factor,
             perc=(cfg.perc_low, cfg.perc_high),
@@ -218,6 +250,7 @@ def _load_subject_device(row, cfg: DataConfig, keep_orig: bool) -> dict:
             has_seg=seg_available,
             keep_orig=keep_orig,
             resized=cfg.resized_evaluation,
+            src_rev=True,
         )
     )
     out["seg_available"] = seg_available

@@ -111,6 +111,56 @@ def read_nifti(path: str, dtype=np.float32) -> tuple[np.ndarray, NiftiHeader]:
     return arr, hdr
 
 
+def read_nifti_raw(path: str):
+    """Raw ingest read for the device-preprocess path: voxel payload in the
+    file's NATIVE dtype and NATIVE memory order (C-contiguous, reversed dims —
+    NIfTI stores x fastest), plus the scl scaling to apply downstream.
+
+    The expensive per-volume host work of `read_nifti` (dtype conversion,
+    scl scaling, and above all the strided x-fastest->xyz transpose copy,
+    ~50 ms per flagship volume on a 1-core host) is deliberately NOT done
+    here — the fused device preprocess program applies them on accelerator
+    where they are effectively free.
+
+    -> (vol_rev [..., z, y, x], shape_xyz, slope, inter)
+    """
+    try:
+        from ..native.binding import NativeUnavailable, read_nifti_raw_native
+
+        vol, shape, _spacing, slope, inter = read_nifti_raw_native(path)
+        return vol, shape, slope, inter
+    except (ImportError, NativeUnavailable, IOError, KeyError):
+        pass
+    raw = _open(path)
+    if len(raw) < 348:
+        raise ValueError(f"{path}: truncated NIfTI header")
+    sizeof_hdr = struct.unpack("<i", raw[0:4])[0]
+    endian = "<"
+    if sizeof_hdr != 348:
+        if struct.unpack(">i", raw[0:4])[0] != 348:
+            raise ValueError(f"{path}: not a NIfTI-1 file")
+        endian = ">"
+    dim = struct.unpack(endian + "8h", raw[40:56])
+    shape = tuple(int(d) for d in dim[1 : 1 + dim[0]])
+    datatype = struct.unpack(endian + "h", raw[70:72])[0]
+    vox_offset = int(struct.unpack(endian + "f", raw[108:112])[0])
+    slope = struct.unpack(endian + "f", raw[112:116])[0]
+    inter = struct.unpack(endian + "f", raw[116:120])[0]
+    np_dtype = _DTYPES.get(datatype)
+    if np_dtype is None:
+        raise ValueError(f"{path}: unsupported NIfTI datatype code {datatype}")
+    count = int(np.prod(shape))
+    arr = np.frombuffer(
+        raw, dtype=np.dtype(np_dtype).newbyteorder(endian), count=count,
+        offset=vox_offset,
+    ).reshape(tuple(reversed(shape)))
+    if endian == ">":
+        arr = arr.astype(arr.dtype.newbyteorder("<"))
+    if not (np.isfinite(slope) and np.isfinite(inter)) or slope == 0.0:
+        slope, inter = 1.0, 0.0
+    return arr, shape, float(slope), float(inter)
+
+
 def write_nifti(path: str, vol: np.ndarray, spacing=(1.0, 1.0, 1.0)) -> None:
     """Write a volume (x, y, z) as NIfTI-1 (.nii or .nii.gz by extension)."""
     vol = np.asarray(vol)

@@ -94,7 +94,9 @@ def build_synthetic_root(
         img_rel = f"/{setname}/{name}_t1.nii.gz"
         mask_rel = f"/{setname}/{name}_mask.nii.gz"
         write_nifti(data + img_rel, vol)
-        write_nifti(data + mask_rel, mask)
+        # binary labels are stored uint8 like real dataset masks (BraTS et al.)
+        # — ingest reads exercise the narrow-dtype path and ship 1/4 the bytes
+        write_nifti(data + mask_rel, mask.astype(np.uint8))
         if with_t2:
             # t2 contrast proxy: inverted intensities inside the brain
             t2 = np.where(mask > 0, vol.max() - vol, vol).astype(np.float32)
@@ -109,7 +111,7 @@ def build_synthetic_root(
         }
         if lesions:
             seg_rel = f"/{setname}/{name}_seg.nii.gz"
-            write_nifti(data + seg_rel, seg)
+            write_nifti(data + seg_rel, seg.astype(np.uint8))
             row["seg_path"] = seg_rel
         return row
 

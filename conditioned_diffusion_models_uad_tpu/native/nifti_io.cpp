@@ -14,13 +14,26 @@
 // accepted but callers typically take volume 0).
 //
 // Build: g++ -O3 -shared -fPIC nifti_io.cpp -o libniftiio.so -lz
-// (done lazily by data/native.py at import; see there for the fallback).
+// (plus -DUSE_LIBDEFLATE -ldeflate when libdeflate headers are present;
+// done lazily by native/binding.py at import; see there for the fallback).
+//
+// Decode strategy (single-core hosts are the loader bottleneck — see
+// PARITY.md "loader feed"): .nii.gz files are inflated with libdeflate's
+// whole-buffer gzip decoder when available (~2-3x zlib's streaming inflate)
+// directly into the caller's buffer — `nifti_read_stream` decodes the whole
+// decompressed stream (header + voxels) into one numpy allocation with ZERO
+// intermediate copies, so Python can view the voxel payload in the file's
+// native dtype and ship it to the accelerator as-is (dtype conversion,
+// scl scaling and the x-fastest->xyz transpose all run on device).
 
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
 #include <zlib.h>
+#ifdef USE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 struct NiftiInfo {
   int32_t ndim;
@@ -30,6 +43,7 @@ struct NiftiInfo {
   float scl_slope;
   float scl_inter;
   int64_t nelem;
+  int64_t vox_offset;
 };
 
 // ---------------------------------------------------------------------------
@@ -137,7 +151,76 @@ extern "C" int nifti_get_info(const char* path, NiftiInfo* info) {
   info->datatype = h.datatype;
   info->scl_slope = h.scl_slope;
   info->scl_inter = h.scl_inter;
+  int64_t off = (int64_t)h.vox_offset;
+  info->vox_offset = off < 348 ? 352 : off;
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Whole-stream decode: header + voxel payload into one caller buffer.
+// Returns bytes written (== out_nbytes) or a negative error code. The caller
+// sizes out_nbytes = vox_offset + nelem * itemsize from nifti_get_info.
+// ---------------------------------------------------------------------------
+extern "C" int64_t nifti_read_stream(const char* path, unsigned char* out,
+                                     int64_t out_nbytes) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  // peek the gzip magic
+  unsigned char magic[2] = {0, 0};
+  size_t got2 = fread(magic, 1, 2, f);
+  bool is_gz = got2 == 2 && magic[0] == 0x1f && magic[1] == 0x8b;
+  if (!is_gz) {
+    // raw .nii: read the stream head directly into out
+    if (fseek(f, 0, SEEK_SET) != 0) { fclose(f); return -2; }
+    int64_t got = (int64_t)fread(out, 1, (size_t)out_nbytes, f);
+    fclose(f);
+    return got == out_nbytes ? got : -10;
+  }
+#ifdef USE_LIBDEFLATE
+  {
+    // whole-buffer gzip decode: slurp the compressed file, inflate straight
+    // into out. Falls through to the zlib streaming path on any mismatch
+    // (multi-member streams, trailing data, allocation failure).
+    if (fseek(f, 0, SEEK_END) == 0) {
+      int64_t csize = ftell(f);
+      if (csize > 0 && fseek(f, 0, SEEK_SET) == 0) {
+        unsigned char* cbuf = (unsigned char*)malloc((size_t)csize);
+        if (cbuf) {
+          int64_t got = (int64_t)fread(cbuf, 1, (size_t)csize, f);
+          if (got == csize) {
+            struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+            if (d) {
+              size_t actual = 0;
+              enum libdeflate_result rc = libdeflate_gzip_decompress(
+                  d, cbuf, (size_t)csize, out, (size_t)out_nbytes, &actual);
+              libdeflate_free_decompressor(d);
+              if (rc == LIBDEFLATE_SUCCESS && (int64_t)actual == out_nbytes) {
+                free(cbuf);
+                fclose(f);
+                return out_nbytes;
+              }
+            }
+          }
+          free(cbuf);
+        }
+      }
+    }
+    if (fseek(f, 0, SEEK_SET) != 0) { fclose(f); return -2; }
+  }
+#endif
+  fclose(f);
+  // zlib streaming fallback (also handles multi-member/oversized streams)
+  gzFile gz = gzopen(path, "rb");
+  if (!gz) return -1;
+  gzbuffer(gz, 1 << 20);
+  int64_t got = 0;
+  while (got < out_nbytes) {
+    int k = gzread(gz, out + got, (unsigned)(out_nbytes - got));
+    if (k <= 0) break;
+    got += k;
+  }
+  gzclose(gz);
+  return got == out_nbytes ? got : -10;
 }
 
 template <typename T>
@@ -153,42 +236,30 @@ static void convert(const unsigned char* src, float* dst, int64_t n,
 }
 
 // Read voxel data as float32 into out (caller allocates nelem floats).
+// Decodes the whole stream once into a reusable thread-local scratch (warm
+// pages — no fresh mmap/page-fault churn per call), then converts.
 extern "C" int nifti_read_f32(const char* path, float* out, int64_t nelem) {
   NiftiInfo info;
   int rc = nifti_get_info(path, &info);
   if (rc) return rc;
   if (info.nelem != nelem) return -7;
 
-  Reader r;
-  if (!open_reader(path, &r)) return -1;
-  Nifti1Header h;
-  if (r.read(&h, sizeof(h)) != (int64_t)sizeof(h)) { r.close(); return -2; }
-
-  int64_t offset = (int64_t)h.vox_offset;
-  if (offset < 348) offset = 352;
-  int64_t skip = offset - 348;
-  char buf[4096];
-  while (skip > 0) {
-    int64_t chunk = skip < (int64_t)sizeof(buf) ? skip : (int64_t)sizeof(buf);
-    if (r.read(buf, chunk) != chunk) { r.close(); return -8; }
-    skip -= chunk;
+  int esz = dtype_size(info.datatype);
+  int64_t total = info.vox_offset + nelem * esz;
+  static thread_local unsigned char* scratch = nullptr;
+  static thread_local int64_t scratch_cap = 0;
+  if (scratch_cap < total) {
+    unsigned char* p = (unsigned char*)realloc(scratch, (size_t)total);
+    if (!p) return -9;
+    scratch = p;
+    scratch_cap = total;
   }
+  int64_t got = nifti_read_stream(path, scratch, total);
+  if (got != total) return got < 0 ? (int)got : -10;
 
-  int esz = dtype_size(h.datatype);
-  int64_t nbytes = nelem * esz;
-  unsigned char* raw = (unsigned char*)malloc((size_t)nbytes);
-  if (!raw) { r.close(); return -9; }
-  int64_t got = 0;
-  while (got < nbytes) {
-    int64_t k = r.read(raw + got, nbytes - got);
-    if (k <= 0) break;
-    got += k;
-  }
-  r.close();
-  if (got != nbytes) { free(raw); return -10; }
-
-  float sl = h.scl_slope, in = h.scl_inter;
-  switch (h.datatype) {
+  const unsigned char* raw = scratch + info.vox_offset;
+  float sl = info.scl_slope, in = info.scl_inter;
+  switch (info.datatype) {
     case DT_UINT8:   convert<uint8_t>(raw, out, nelem, sl, in); break;
     case DT_INT8:    convert<int8_t>(raw, out, nelem, sl, in); break;
     case DT_INT16:   convert<int16_t>(raw, out, nelem, sl, in); break;
@@ -197,9 +268,8 @@ extern "C" int nifti_read_f32(const char* path, float* out, int64_t nelem) {
     case DT_UINT32:  convert<uint32_t>(raw, out, nelem, sl, in); break;
     case DT_FLOAT32: convert<float>(raw, out, nelem, sl, in); break;
     case DT_FLOAT64: convert<double>(raw, out, nelem, sl, in); break;
-    default: free(raw); return -5;
+    default: return -5;
   }
-  free(raw);
   return 0;
 }
 

@@ -57,6 +57,64 @@ def test_read_nifti_prefers_native(tmp_path, monkeypatch):
     np.testing.assert_allclose(out, vol, rtol=1e-6)
 
 
+def test_raw_ingest_parity(tmp_path):
+    """read_nifti_raw (native stream decode + python fallback) returns the
+    voxel payload in file memory order and native dtype; applying
+    slope/inter + transpose reproduces read_nifti across dtypes and both
+    gz/raw containers."""
+    from conditioned_diffusion_models_uad_tpu.native import binding
+
+    rng = np.random.default_rng(3)
+    cases = [
+        ((11, 7, 5), np.float32, 100.0),
+        ((11, 7, 5), np.int16, 300.0),
+        ((11, 7, 5), np.uint8, 200.0),
+    ]
+    for shape, dtype, scale in cases:
+        vol = (rng.random(shape) * scale).astype(dtype)
+        for name in (f"{dtype.__name__}.nii", f"{dtype.__name__}.nii.gz"):
+            p = str(tmp_path / name)
+            pynifti.write_nifti(p, vol)
+            ref, _ = pynifti.read_nifti(p)
+            for native in (True, False):
+                if native:
+                    raw, shp, slope, inter = pynifti.read_nifti_raw(p)
+                else:
+                    # force the pure-python fallback
+                    import unittest.mock as mock
+
+                    with mock.patch.object(
+                        binding, "read_nifti_raw_native",
+                        side_effect=IOError("forced"),
+                    ):
+                        raw, shp, slope, inter = pynifti.read_nifti_raw(p)
+                assert raw.dtype == dtype
+                assert shp == shape
+                assert raw.shape == tuple(reversed(shape))
+                got = (
+                    raw.astype(np.float32) * slope + inter
+                ).transpose(2, 1, 0)
+                np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_raw_ingest_scl_scaling(tmp_path):
+    """scl_slope/scl_inter from the header reach the caller (applied on
+    device in the real pipeline)."""
+    import struct
+
+    p = str(tmp_path / "scaled.nii")
+    vol = np.arange(24, dtype=np.int16).reshape(4, 3, 2)
+    pynifti.write_nifti(p, vol)
+    with open(p, "r+b") as f:  # patch slope=2.5, inter=-3
+        f.seek(112)
+        f.write(struct.pack("<ff", 2.5, -3.0))
+    raw, shp, slope, inter = pynifti.read_nifti_raw(p)
+    assert (slope, inter) == (2.5, -3.0)
+    ref, _ = pynifti.read_nifti(p)
+    got = (raw.astype(np.float32) * slope + inter).transpose(2, 1, 0)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
 def test_error_on_garbage(tmp_path):
     p = str(tmp_path / "junk.nii")
     with open(p, "wb") as f:

@@ -68,7 +68,7 @@ def main() -> None:
 
     gen_params = json.dumps(
         {"volumes": args.volumes, "image_dim": list(dims),
-         "testsets": sorted(args.testsets)}, sort_keys=True,
+         "testsets": sorted(args.testsets), "v": 2}, sort_keys=True,
     )
     stamp = os.path.join(args.data_dir, ".built")
     stale = True
