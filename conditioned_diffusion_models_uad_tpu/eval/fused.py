@@ -49,7 +49,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .metrics import _auc_ap_device_impl, _greedy_search_device_impl
+from .metrics import _seg_metrics_sorted_impl
 from .postprocess import (
     apply_brainmask_volume,
     median_filter_3d,
@@ -83,14 +83,7 @@ def _f32_bytes(x: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint8).ravel()
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "residualmode", "erode_iterations", "median_kernel", "eval_seg",
-        "cc_min_size", "pack_seg", "with_hausdorff", "pack_maps",
-    ),
-)
-def volume_eval_program(
+def _volume_eval_core(
     orig: jax.Array,  # [H, W, D]
     reco: jax.Array,  # [H, W, D]
     mask: jax.Array,  # [H, W, D]
@@ -114,8 +107,17 @@ def volume_eval_program(
     # device Hausdorff + the confusion-count scalars); saves the dominant
     # share of the fetch and the host-side unpackbits/numpy passes
 ):
+    """The traceable per-volume scoring body — jitted directly by
+    `volume_eval_program` and vmapped over the dispatch group by the
+    one-dispatch reconstruct+score path (eval/reconstruct.py)."""
     orig = orig.astype(jnp.float32)
     reco = reco.astype(jnp.float32)
+    if reco.shape != orig.shape:
+        # full-resolution evaluation: upsample the model-space reconstruction
+        # onto the orig grid in-program (ref utils_eval.py:24-27)
+        from .postprocess import resize_trilinear
+
+        reco = resize_trilinear(reco, orig.shape)
 
     # residual -> brain-mask erosion -> 3D median (ref :28-69)
     diff = residual_volume(orig, reco, residualmode)
@@ -133,9 +135,12 @@ def volume_eval_program(
     if eval_seg:
         x = diff.ravel()
         y = seg_b.ravel().astype(jnp.float32)
-        auroc, ap = _auc_ap_device_impl(x, y)
-        best_dice, best_th = _greedy_search_device_impl(
-            x, y, jnp.float32(0.0), x.max()
+        # one unstable pair-sort feeds AUROC + AP + the greedy threshold
+        # search (was: stable sort + argsort + two vectorized searchsorteds
+        # + 20 full-array dice passes — ~135 ms/volume of the scoring
+        # program's 165 ms on a v5e; the sorted form runs in a few ms)
+        auroc, ap, best_dice, best_th = _seg_metrics_sorted_impl(
+            x, y, x.max()
         )
         th_rec = jnp.where(jnp.isnan(th_record), best_th, th_record)
         th_app = jnp.where(jnp.isnan(th_apply), th_rec, th_apply)
@@ -210,6 +215,29 @@ def volume_eval_program(
         if pack_seg:
             segments.append(jnp.packbits(seg_b.ravel()))
     return diff, jnp.concatenate(segments)
+
+
+_STATIC_EVAL_ARGS = (
+    "residualmode", "erode_iterations", "median_kernel", "eval_seg",
+    "cc_min_size", "pack_seg", "with_hausdorff", "pack_maps",
+)
+
+volume_eval_program = partial(
+    jax.jit, static_argnames=_STATIC_EVAL_ARGS
+)(_volume_eval_core)
+
+
+def group_eval_core(orig, reco, mask, seg, th_record, th_apply, aux_loss,
+                    aux_latent, **static):
+    """`_volume_eval_core` vmapped over a leading group axis: volumes [G,...],
+    scalars [G], latents [G,L] -> (diff [G,H,W,D], packed [G,B]). One device
+    program + ONE packed fetch covers the whole reconstruction dispatch group
+    (the per-volume dispatch+fetch round trips were the dominant eval cost on
+    a high-RTT tunneled transport once the loader and the scoring kernels
+    were fixed)."""
+    return jax.vmap(
+        partial(_volume_eval_core, **static)
+    )(orig, reco, mask, seg, th_record, th_apply, aux_loss, aux_latent)
 
 
 def packed_layout(shape, latent_len: int, pack_seg: bool, pack_maps: bool = True):

@@ -141,6 +141,13 @@ class EvalConfig:
     # the UNet at the measured-best batch-576 layout and halves dispatch round
     # trips; 1 = reference-exact per-volume noise keys)
     volumes_per_call: int = 1
+    # chain the scoring program onto the reconstruction dispatch: ONE device
+    # program + ONE packed fetch per volume group instead of 1 + G dispatches
+    # and G fetches (bit-identical results — the same programs, chained).
+    # Auto-falls-back to separate dispatches for host-path volumes (below
+    # FUSED_MIN_VOXELS), mixed-shape groups, save_output_images, or a
+    # multi-device mesh (the sliced recon shardings stay authoritative there)
+    fused_dispatch: bool = True
 
     def __post_init__(self):
         for knob in ("cc_backend", "hausdorff_backend"):
@@ -463,6 +470,54 @@ class EvalSession:
                 self.logger.log_image(f"{self.dataset}/{self.stage}/grid", p)
 
     # ------------------------------------------------------------------ #
+    def _fused_flags(self, orig_shape, seg_is_host: bool) -> dict:
+        """The static/threshold configuration of the fused scoring program for
+        this session's stage — shared by the in-step dispatch below and the
+        one-dispatch-per-group reconstruct+score path (orchestrate)."""
+        cfg = self.cfg
+        eval_seg = cfg.eval_seg and not self.is_healthy
+        th_record = float("nan")
+        th_apply = float("nan")
+        if eval_seg:
+            if "test" in self.stage:
+                th_record = float(self.threshold["total"])
+            if cfg.threshold != "auto":
+                th_apply = float(cfg.threshold)
+        # cc_min_size <= 0 means no filtering at all — the fused program then
+        # computes neither the filtered map nor the confusion counts, so fall
+        # back to the host-map path in that (degenerate) configuration
+        cc_on_device = cfg.cc_backend == "device" and cfg.cc_min_size > 0
+        hd_in_program = (
+            eval_seg and cc_on_device and cfg.hausdorff_backend == "device"
+        )
+        # the binary maps only need to reach the host when a map consumer
+        # runs there (scipy CC filter or bbox Hausdorff); with both on device
+        # the confusion-count scalars replace them and the fetch shrinks to
+        # the scalar/per-slice/latent block
+        maps_needed = eval_seg and (not cc_on_device or not hd_in_program)
+        # seg volumes that live on device (preprocess_backend='device') come
+        # back inside the same packed fetch, bit-packed; host-resident ones
+        # never cross the link at all
+        pack_seg = maps_needed and not seg_is_host
+        return {
+            "th_record": th_record,
+            "th_apply": th_apply,
+            "statics": dict(
+                residualmode=cfg.residualmode,
+                erode_iterations=(
+                    int(orig_shape[1]) // 25 if cfg.erode_brainmask else 0
+                ),
+                median_kernel=(
+                    cfg.kernelsize_median if cfg.median_filtering else 1
+                ),
+                eval_seg=eval_seg,
+                cc_min_size=cfg.cc_min_size if cc_on_device else 0,
+                pack_seg=pack_seg,
+                with_hausdorff=hd_in_program,
+                pack_maps=maps_needed,
+            ),
+        }
+
     def _test_step_fused(
         self,
         final_volume,  # device [H, W, D] f32
@@ -483,34 +538,12 @@ class EvalSession:
         residual kept on device for the val-stage threshold pooling. Produces
         the same eval_dict rows as the host path (parity-tested)."""
         cfg = self.cfg
-        eval_seg = cfg.eval_seg and not self.is_healthy
-        erode_iters = int(orig.shape[1]) // 25 if cfg.erode_brainmask else 0
-        th_record = float("nan")
-        th_apply = float("nan")
-        if eval_seg:
-            if "test" in self.stage:
-                th_record = float(self.threshold["total"])
-            if cfg.threshold != "auto":
-                th_apply = float(cfg.threshold)
-
-        # cc_min_size <= 0 means no filtering at all — the fused program then
-        # computes neither the filtered map nor the confusion counts, so fall
-        # back to the host-map path in that (degenerate) configuration
-        cc_on_device = cfg.cc_backend == "device" and cfg.cc_min_size > 0
-        hd_in_program = (
-            eval_seg and cc_on_device and cfg.hausdorff_backend == "device"
+        flags = self._fused_flags(
+            tuple(orig.shape),
+            seg_is_host=not seg_available or isinstance(data_seg, np.ndarray),
         )
-        # the binary maps only need to reach the host when a map consumer
-        # runs there (scipy CC filter or bbox Hausdorff); with both on device
-        # the confusion-count scalars replace them and the fetch shrinks to
-        # the scalar/per-slice/latent block
-        maps_needed = eval_seg and (not cc_on_device or not hd_in_program)
-        # seg volumes that live on device (preprocess_backend='device') come
-        # back inside the same packed fetch, bit-packed; host-resident ones
-        # never cross the link at all
-        pack_seg = maps_needed and seg_available and not isinstance(
-            data_seg, np.ndarray
-        )
+        # seg_available=False means data_seg is None (zeros volume): nothing
+        # to pack — treat as host-resident for the pack_seg decision
         have_loss = aux is not None and aux.get("loss") is not None
         have_latent = aux is not None and aux.get("latent") is not None
         aux_loss = (
@@ -526,21 +559,93 @@ class EvalSession:
 
         diff_dev, packed_dev = volume_eval_program(
             orig, final_volume, mask, seg,
-            jnp.float32(th_record), jnp.float32(th_apply),
+            jnp.float32(flags["th_record"]), jnp.float32(flags["th_apply"]),
             aux_loss, aux_latent,
-            residualmode=cfg.residualmode,
-            erode_iterations=erode_iters,
-            median_kernel=cfg.kernelsize_median if cfg.median_filtering else 1,
-            eval_seg=eval_seg,
-            cc_min_size=cfg.cc_min_size if cc_on_device else 0,
-            pack_seg=pack_seg,
-            with_hausdorff=hd_in_program,
-            pack_maps=maps_needed,
+            **flags["statics"],
         )
         parsed = parse_packed(  # the ONE per-volume D2H fetch
-            packed_dev, tuple(orig.shape), int(aux_latent.shape[0]), pack_seg,
-            maps_needed,
+            packed_dev, tuple(orig.shape), int(aux_latent.shape[0]),
+            flags["statics"]["pack_seg"], flags["statics"]["pack_maps"],
         )
+        return self._record_fused(
+            parsed, diff_dev, flags,
+            orig=orig, mask=mask, seg=seg, final_volume=final_volume,
+            seg_available=seg_available, batch_idx=batch_idx, ID=ID,
+            label_vol=label_vol, aux=aux, data_seg=data_seg,
+        )
+
+    def test_step_precomputed(
+        self,
+        parsed: dict,  # parse_packed output for this volume
+        diff_dev,  # device residual [H, W, D] (val-stage pooling input)
+        flags: dict,  # this session's _fused_flags(...)
+        *,
+        seg_available: bool,
+        batch_idx: int,
+        ID: str,
+        label_vol: int,
+        score_fn=None,
+        data_seg=None,
+        seg_dev=None,  # the seg volume (device or host) for val-stage pooling
+    ) -> None:
+        """Commit one volume whose scoring program ALREADY ran fused into the
+        reconstruction dispatch (one program + one packed fetch per group,
+        eval/reconstruct.py::batch_call_scored). Identical recording to
+        `test_step`'s fused path."""
+        try:
+            aux = {"score_fn": score_fn} if score_fn is not None else {}
+            # the packed buffer always carries loss/latent slots in this path
+            aux["loss"] = parsed["scalars"]["aux_loss"]
+            aux["latent"] = (
+                parsed["latent"] if parsed["latent"].size else None
+            )
+            return self._record_fused(
+                parsed, diff_dev, flags,
+                orig=None, mask=None,
+                seg=(
+                    seg_dev if seg_dev is not None
+                    else jnp.zeros(diff_dev.shape, jnp.float32)
+                ),
+                final_volume=None,
+                seg_available=seg_available, batch_idx=batch_idx, ID=ID,
+                label_vol=label_vol, aux=aux, data_seg=data_seg,
+            )
+        except BaseException:
+            self._abort_turn(int(batch_idx))
+            raise
+
+    def _record_fused(
+        self,
+        parsed: dict,
+        diff_dev,
+        flags: dict,
+        *,
+        orig,  # device arrays, or None in the precomputed path
+        mask,
+        seg,
+        final_volume,
+        seg_available: bool,
+        batch_idx: int,
+        ID: str,
+        label_vol: int,
+        aux: Optional[dict],
+        data_seg,
+    ) -> None:
+        cfg = self.cfg
+        statics = flags["statics"]
+        eval_seg = statics["eval_seg"]
+        maps_needed = statics["pack_maps"]
+        pack_seg = statics["pack_seg"]
+        cc_on_device = statics["cc_min_size"] > 0
+        hd_in_program = statics["with_hausdorff"]
+        have_loss = aux is not None and aux.get("loss") is not None
+        # .size avoids materializing a device latent (no extra D2H here)
+        have_latent = (
+            aux is not None
+            and aux.get("latent") is not None
+            and aux["latent"].size > 0
+        )
+        vol_size = int(np.prod(diff_dev.shape))
         s = parsed["scalars"]
         per_slice = parsed["per_slice"]
         slice_scores = per_slice[:, 0]
@@ -562,7 +667,9 @@ class EvalSession:
                       "l2recoErrorHealthy")
         ]
 
-        if cfg.save_output_images:  # opt-in debugging: fetches the images
+        if cfg.save_output_images and orig is not None:
+            # opt-in debugging: fetches the images (orchestrate keeps the
+            # separate-dispatch path when this is on, so orig is available)
             self._log_images(
                 np.asarray(diff_dev), np.asarray(orig),
                 np.asarray(seg) > 0, np.asarray(mask) > 0,
@@ -608,7 +715,7 @@ class EvalSession:
             prec = TP / (TP + FP) if (TP + FP) > 0 else 0.0
             recall = TP / (TP + FN) if (TP + FN) > 0 else 0.0
             spec = TN / (TN + FP + 1e-7)
-            acc = (TP + TN) / orig.size
+            acc = (TP + TN) / vol_size
             dice_v = (
                 2 * TP / (2 * TP + FP + FN)
                 if (2 * TP + FP + FN) > 0 else float("nan")

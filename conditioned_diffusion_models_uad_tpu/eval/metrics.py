@@ -200,12 +200,106 @@ def _greedy_search_device_impl(x, y, lo0, hi0, max_steps: int = 10):
     return best_dice, best_th
 
 
-def _seg_metrics_device_impl(x, y, hi0):
+def _seg_metrics_sorted_impl(x, y, hi0):
+    """AUROC + AP + the greedy Dice-threshold search from ONE unstable pair
+    sort — the TPU-fast formulation of `_auc_ap_device_impl` +
+    `_greedy_search_device_impl` (bit-identical results, parity-tested).
+
+    Why: XLA:TPU's stable `jnp.sort` / `argsort` / vectorized `searchsorted`
+    each cost ~140 ms at 460k elements on a v5e, while the unstable variadic
+    `lax.sort` runs in ~4 ms (measured; PARITY.md "scoring kernel"). Every
+    quantity below is computed from value-GROUP aggregates (cumsum/cummax
+    over the sorted order), so the within-tie permutation an unstable sort
+    leaves unspecified cannot affect any output:
+
+    * AUROC: Mann-Whitney U — per positive, the count of strictly-smaller
+      negatives + half the tied negatives, via group-start/-end negative
+      counts broadcast with cummax scans (no ranks, no searchsorted).
+    * AP: sklearn's tie-grouped interpolation on the reversed (descending)
+      order — same formula as `_auc_ap_device_impl`, fed by the shared sort.
+    * Greedy search: Dice at a scalar threshold needs only the threshold's
+      rank (one scalar binary search) and the positive-count prefix there —
+      10 sequential scalar steps instead of 20 full-array passes.
+    """
+    import jax
     import jax.numpy as jnp
 
-    auroc, ap = _auc_ap_device_impl(x, y)
-    best_dice, best_th = _greedy_search_device_impl(x, y, jnp.float32(0.0), hi0)
-    return auroc, ap, best_dice, best_th
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    n = x.shape[0]
+    xs, ys = jax.lax.sort((x, y), num_keys=1)  # ascending by value
+    idx = jnp.arange(n, dtype=jnp.float32)  # exact ints (n < 2^24)
+    n_pos = ys.sum()
+    n_neg = n - n_pos
+    cpos = jnp.cumsum(ys)  # inclusive positive count
+    cneg = idx + 1.0 - cpos  # inclusive negative count
+
+    # value-group boundaries in ascending order
+    neq = xs[1:] != xs[:-1]
+    first = jnp.concatenate([jnp.ones((1,), bool), neq])
+    last = jnp.concatenate([neq, jnp.ones((1,), bool)])
+
+    # ---- AUROC (exact, midrank-equivalent) -------------------------------- #
+    # negatives strictly below each element's value: the EXCLUSIVE negative
+    # count at its group start, broadcast forward (cneg is nondecreasing, so
+    # cummax carries each group-start value through the group)
+    cneg_excl = jnp.concatenate([jnp.zeros((1,)), cneg[:-1]])
+    neg_below = jax.lax.cummax(jnp.where(first, cneg_excl, 0.0))
+    # negatives up to the group END, broadcast backward
+    # cneg is nondecreasing: the NEAREST later boundary is the reversed-scan
+    # minimum (a reversed cummax would grab the global end instead)
+    neg_upto = jax.lax.cummin(jnp.where(last, cneg, jnp.inf), reverse=True)
+    u_stat = (ys * (neg_below + 0.5 * (neg_upto - neg_below))).sum()
+    auroc = u_stat / (n_pos * n_neg)
+
+    # ---- average precision, ties grouped (sklearn semantics) -------------- #
+    yd = ys[::-1]
+    tp = jnp.cumsum(yd)
+    fp = idx + 1.0 - tp
+    precision = tp / jnp.maximum(tp + fp, 1.0)
+    recall = tp / jnp.maximum(n_pos, 1.0)
+    boundary = last[::-1]  # last index of each tied group in descending order
+    r_b = jnp.where(boundary, recall, 0.0)
+    prev = jnp.concatenate([jnp.zeros((1,)), jax.lax.cummax(r_b)[:-1]])
+    ap = jnp.where(boundary, (recall - prev) * precision, 0.0).sum()
+
+    # ---- greedy quartile search from the sorted foundation ---------------- #
+    cpos0 = jnp.concatenate([jnp.zeros((1,)), cpos])
+
+    def dice_at(th):
+        rank = jnp.searchsorted(xs, th, side="right")
+        inter = n_pos - cpos0[rank]  # positives with value > th
+        denom = (n - rank).astype(jnp.float32) + n_pos  # |x>th| + |y|
+        return jnp.where(denom > 0, 2.0 * inter / denom, 0.0)
+
+    lo0 = jnp.float32(0.0)
+    hi0 = jnp.where(hi0 == lo0, 1.0, hi0)
+
+    def body(_, carry):
+        lo, hi, max_val, max_point = carry
+        center = lo + (hi - lo) * 0.5
+        q_bottom = lo + (hi - lo) * 0.25
+        q_top = lo + (hi - lo) * 0.75
+        val_bottom = dice_at(q_bottom)
+        val_top = dice_at(q_top)
+        take_bottom = val_bottom >= val_top
+        cand_val = jnp.where(take_bottom, val_bottom, val_top)
+        cand_point = jnp.where(take_bottom, q_bottom, q_top)
+        better = cand_val >= max_val
+        max_val = jnp.where(better, cand_val, max_val)
+        max_point = jnp.where(better, cand_point, max_point)
+        lo = jnp.where(take_bottom, lo, center)
+        hi = jnp.where(take_bottom, center, hi)
+        return lo, hi, max_val, max_point
+
+    _, _, best_dice, best_th = jax.lax.fori_loop(
+        0, 10, body, (lo0, hi0.astype(jnp.float32), jnp.float32(0.0), jnp.float32(0.0))
+    )
+    return auroc, ap, best_dice.astype(jnp.float32), best_th
+
+
+def _seg_metrics_device_impl(x, y, hi0):
+    return _seg_metrics_sorted_impl(x, y, hi0)
 
 
 _seg_metrics_compiled = None

@@ -13,6 +13,7 @@ different depth reuse one compiled executable (SURVEY.md §7 'dynamic shapes').
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -21,6 +22,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..parallel.mesh import batch_sharding, pad_to_multiple, replicated_sharding
+from .fused import _STATIC_EVAL_ARGS, group_eval_core
 
 
 class VolumeReconstructor:
@@ -136,3 +138,83 @@ class VolumeReconstructor:
             reco_hwd = jnp.moveaxis(reco[sl][:d, ..., 0], 0, -1)
             out.append((reco_hwd, self._aux_out(aux, sl, d)))
         return out
+
+    # ------------------------------------------------------------------ #
+    # one-dispatch reconstruct + score
+    # ------------------------------------------------------------------ #
+    def _scored_program(self):
+        """Compile-once wrapper chaining the reconstruction onto the vmapped
+        per-volume scoring core (eval/fused.py): ONE device program computes
+        reco -> residual -> metrics for the whole dispatch group, and its
+        packed output is the group's ONE D2H fetch. On a high-RTT tunneled
+        transport this collapses the former 1 recon dispatch + G scoring
+        dispatches + G fetches per group into 1 + 1."""
+        if getattr(self, "_scored", None) is not None:
+            return self._scored
+        fn = self._reconstruct
+
+        @partial(
+            jax.jit,
+            static_argnames=("g", "d") + _STATIC_EVAL_ARGS,
+        )
+        def scored(
+            variables, slices, key, orig, mask, seg, th_rec, th_app,
+            *, g, d, **statics,
+        ):
+            reco, aux = fn(variables, slices, key)
+            pad = slices.shape[0] // g
+            h, w = reco.shape[1], reco.shape[2]
+            reco_g = jnp.moveaxis(
+                reco[..., 0].reshape(g, pad, h, w)[:, :d], 1, -1
+            )  # [G, H, W, d]
+            loss_g = aux["loss_per_slice"].reshape(g, pad)[:, :d].mean(axis=1)
+            lat = aux["latent_per_slice"]
+            latent_g = lat.reshape(g, pad, lat.shape[-1])[:, :d].mean(axis=1)
+            diff_g, packed_g = group_eval_core(
+                orig, reco_g, mask, seg, th_rec, th_app, loss_g, latent_g,
+                **statics,
+            )
+            return diff_g, packed_g
+
+        self._scored = scored
+        return scored
+
+    def latent_len(self, variables, vol_hwd, key) -> int:
+        """Conditioning-latent width of the packed buffer (abstract shape
+        eval — no device work)."""
+        if getattr(self, "_latent_len", None) is None:
+            slices, _ = self._prep(vol_hwd)
+            slices, _ = pad_to_multiple(slices, self.depth_multiple, axis=0)
+            _, aux = jax.eval_shape(self._reconstruct, variables, slices, key)
+            self._latent_len = int(aux["latent_per_slice"].shape[-1])
+        return self._latent_len
+
+    def batch_call_scored(self, variables, subs, key, flags):
+        """Reconstruct AND score a group of same-shape subjects in ONE device
+        dispatch. `subs` are eval subject dicts (vol / vol_orig / mask_orig /
+        seg_orig); `flags` is EvalSession._fused_flags(...). Returns a list of
+        (diff_dev [H,W,D], packed_dev [B]) per subject in input order."""
+        preps = [self._prep(s["vol"]) for s in subs]
+        pad = max(
+            -(-p.shape[0] // self.depth_multiple) * self.depth_multiple
+            for p, _ in preps
+        )
+        d = preps[0][1]
+        stacks = []
+        for p, _ in preps:
+            if p.shape[0] < pad:
+                xp = np if isinstance(p, np.ndarray) else jnp
+                p = xp.pad(p, [(0, pad - p.shape[0])] + [(0, 0)] * (p.ndim - 1),
+                           mode="edge")
+            stacks.append(jnp.asarray(p))
+        g = len(subs)
+        orig = jnp.stack([jnp.asarray(s["vol_orig"], jnp.float32) for s in subs])
+        mask = jnp.stack([jnp.asarray(s["mask_orig"], jnp.float32) for s in subs])
+        seg = jnp.stack([jnp.asarray(s["seg_orig"], jnp.float32) for s in subs])
+        th_rec = jnp.full((g,), flags["th_record"], jnp.float32)
+        th_app = jnp.full((g,), flags["th_apply"], jnp.float32)
+        return self._scored_program()(
+            variables, jnp.concatenate(stacks, axis=0), key,
+            orig, mask, seg, th_rec, th_app,
+            g=g, d=d, **flags["statics"],
+        )  # (diff_g [G,H,W,D], packed_g [G,B]) — fetch packed_g ONCE

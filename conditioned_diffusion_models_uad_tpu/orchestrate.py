@@ -118,6 +118,18 @@ def evaluate(
 
             n_workers = max(1, int(cfg.eval.scorer_threads))
             group_n = max(1, int(cfg.eval.volumes_per_call))
+            # one-dispatch reconstruct+score (EvalConfig.fused_dispatch):
+            # grouped volumes run reco -> residual -> metrics as ONE device
+            # program with ONE packed group fetch. Per-group fallbacks below
+            # keep host-path volumes / mixed shapes on the separate path
+            fused_dispatch_ok = (
+                cfg.eval.fused_dispatch
+                and mesh is None
+                and not cfg.eval.save_output_images
+            )
+            from .eval.fused import parse_packed
+            from .eval.harness import FUSED_MIN_VOXELS
+
             with ThreadPoolExecutor(max_workers=n_workers) as scorer:
                 pending: list = []
                 score_fn = getattr(task, "anomaly_scores", None)
@@ -140,6 +152,79 @@ def evaluate(
                              "score_fn": score_fn},
                     ))
 
+                def _score_group(group, diff_g, packed_g, flags, llen):
+                    """Scorer-thread body of the fused dispatch: ONE packed
+                    D2H fetch for the group, then per-volume recording."""
+                    statics = flags["statics"]
+                    done = 0
+                    try:
+                        buf = np.asarray(packed_g)  # blocks on the program
+                        for j, (i, sub) in enumerate(group):
+                            t0 = _t.perf_counter()
+                            seg_orig = sub.get("seg_orig")
+                            parsed = parse_packed(
+                                buf[j], tuple(sub["vol_orig"].shape), llen,
+                                statics["pack_seg"], statics["pack_maps"],
+                            )
+                            session.test_step_precomputed(
+                                parsed, diff_g[j], flags,
+                                seg_available=True,
+                                batch_idx=i,
+                                ID=sub.get("ID", str(i)),
+                                label_vol=sub.get("label", 0),
+                                score_fn=score_fn,
+                                data_seg=(
+                                    seg_orig
+                                    if isinstance(seg_orig, np.ndarray)
+                                    else None
+                                ),
+                                seg_dev=seg_orig,
+                            )
+                            done = j + 1
+                            if timing:
+                                ph["step"].append(_t.perf_counter() - t0)
+                    except BaseException:
+                        for i, _ in group[done:]:
+                            session._abort_turn(int(i))
+                        raise
+
+                def _dispatch_fused(group):
+                    subs = [s for _, s in group]
+                    t0 = _t.perf_counter()
+                    flags = session._fused_flags(
+                        tuple(subs[0]["vol_orig"].shape),
+                        seg_is_host=isinstance(
+                            subs[0].get("seg_orig"), np.ndarray
+                        ),
+                    )
+                    padded = subs + [subs[-1]] * (group_n - len(subs))
+                    diff_g, packed_g = recon.batch_call_scored(
+                        variables, padded,
+                        jax.random.fold_in(key, group[0][0]), flags,
+                    )
+                    llen = recon.latent_len(variables, subs[0]["vol"], key)
+                    t1 = _t.perf_counter()
+                    ph["recon"] += t1 - t0
+                    while len(pending) >= n_workers:
+                        pending.pop(0).result()
+                    ph["wait"] += _t.perf_counter() - t1
+                    pending.append(scorer.submit(
+                        _score_group, group, diff_g, packed_g, flags, llen,
+                    ))
+
+                def _group_fusable(group):
+                    if not fused_dispatch_ok:
+                        return False
+                    shapes_o = {tuple(s["vol_orig"].shape) for _, s in group}
+                    shapes_v = {
+                        tuple(np.asarray(s["vol"]).shape) for _, s in group
+                    }
+                    return (
+                        len(shapes_o) == 1
+                        and len(shapes_v) == 1
+                        and int(np.prod(next(iter(shapes_o)))) > FUSED_MIN_VOXELS
+                    )
+
                 def _dispatch(group):
                     # one device program per group. group_n=1 keeps the
                     # per-volume fold_in(key, i) noise draws exactly; larger
@@ -150,6 +235,8 @@ def evaluate(
                     # full-group compiled program — a second single-volume
                     # executable would cost a whole extra XLA compile (~60 s
                     # on the tunnel) to save one duplicated reconstruction
+                    if _group_fusable(group):
+                        return _dispatch_fused(group)
                     t0 = _t.perf_counter()
                     if group_n == 1:
                         i0, sub0 = group[0]

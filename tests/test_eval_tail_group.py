@@ -45,6 +45,7 @@ def test_tail_group_pads_to_full_group(tmp_path, monkeypatch):
         eval=EvalConfig(save_output_images=False),
     )
     cfg.eval.volumes_per_call = 2
+    cfg.eval.fused_dispatch = False  # this test pins the separate-dispatch path
     cfg.eval.out_dir = cfg.run_dir
 
     task = DDPMTask(cfg.model)
@@ -69,3 +70,75 @@ def test_tail_group_pads_to_full_group(tmp_path, monkeypatch):
         assert len(set(ev["IDs"])) == 3
         assert len(ev["AnomalyScoreRegPerVol"]) == 3
         assert np.isfinite(ev["DicePerVolMean"])
+
+
+def test_fused_dispatch_matches_separate(tmp_path, monkeypatch):
+    """EvalConfig.fused_dispatch chains the scoring program onto the grouped
+    reconstruction dispatch (one program + one packed fetch per group,
+    eval/reconstruct.py::batch_call_scored). It is a pure dispatch
+    optimization: every eval_dict row — including the padded tail group's —
+    must match the separate-dispatch path exactly."""
+    import dataclasses as dc
+
+    from conditioned_diffusion_models_uad_tpu.eval import harness as H
+
+    # the tiny fixture volumes are below the real fused-path size gate;
+    # lower it so both the separate fused scoring and the fused dispatch run
+    monkeypatch.setattr(H, "FUSED_MIN_VOXELS", 1000)
+
+    root = build_synthetic_root(
+        str(tmp_path / "data"), shape=(64, 64, 40), n_train=1, n_val=1,
+        n_test=1, n_eval=3, eval_sets=("Brats21",),
+    )
+    base = RunConfig(
+        name="fused_dispatch", seed=0, log_dir=str(tmp_path / "logs"),
+        model=DDPMTaskConfig(**TINY),
+        data=DataConfig(data_dir=root, image_dim=(64, 64, 40),
+                        rescale_factor=2.0, testsets=("Brats21",)),
+        eval=EvalConfig(save_output_images=False),
+    )
+    base.eval.volumes_per_call = 2
+    base.eval.out_dir = base.run_dir
+    task = DDPMTask(base.model)
+    variables = task.init(jax.random.PRNGKey(0))
+
+    results = {}
+    for fused in (True, False):
+        cfg = dc.replace(base, eval=dc.replace(base.eval, fused_dispatch=fused))
+        scored_calls = []
+        orig_scored = VolumeReconstructor.batch_call_scored
+
+        def spy(self, variables, subs, key, flags):
+            scored_calls.append(len(subs))
+            return orig_scored(self, variables, subs, key, flags)
+
+        VolumeReconstructor.batch_call_scored = spy
+        try:
+            results[fused] = evaluate(
+                cfg, task, variables, fold=0, logger=_NullLogger()
+            )
+        finally:
+            VolumeReconstructor.batch_call_scored = orig_scored
+        # the fused path must actually engage (incl. the padded tail), and
+        # must not when disabled
+        assert (len(scored_calls) > 0) == fused
+        if fused:
+            assert all(n == 2 for n in scored_calls)
+
+    for stage in ("val", "test"):
+        ev_f = results[True][stage]["Brats21"]
+        ev_s = results[False][stage]["Brats21"]
+        assert ev_f["IDs"] == ev_s["IDs"]
+        for k in ("DiceScorePerVol", "BestDicePerVol", "BestThresholdPerVol",
+                  "AUCPerVol", "AUPRCPerVol", "TPPerVol", "FPPerVol",
+                  "HausPerVol", "AnomalyScoreRegPerVol",
+                  "AnomalyScoreRecoPerVol", "l1recoErrorAll",
+                  "AnomalyScoreRecoPerSlice", "labelPerSlice",
+                  "lesionSizePerVol", "labelPerVol"):
+            np.testing.assert_allclose(
+                np.asarray(ev_f[k], dtype=np.float64),
+                np.asarray(ev_s[k], dtype=np.float64),
+                rtol=1e-5, atol=1e-6, err_msg=f"{stage}/{k}",
+            )
+        for a, b in zip(ev_f["latentSpace"], ev_s["latentSpace"]):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

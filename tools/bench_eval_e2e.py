@@ -44,6 +44,9 @@ def main() -> None:
                    default="host",
                    help="surface Hausdorff: bbox scipy EDT or the device "
                         "separable squared-EDT (eval/hausdorff.py)")
+    p.add_argument("--no-fused-dispatch", action="store_true",
+                   help="disable the one-dispatch reconstruct+score chaining "
+                        "(EvalConfig.fused_dispatch) for A/B timing")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the timed pass")
     args = p.parse_args()
@@ -100,6 +103,7 @@ def main() -> None:
     cfg.eval.volumes_per_call = args.volumes_per_call
     cfg.eval.cc_backend = args.cc_backend
     cfg.eval.hausdorff_backend = args.hausdorff_backend
+    cfg.eval.fused_dispatch = not args.no_fused_dispatch
     cfg.eval.out_dir = cfg.run_dir
 
     task = DDPMTask(cfg.model)
