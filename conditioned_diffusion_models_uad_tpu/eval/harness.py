@@ -888,8 +888,10 @@ class EvalSession:
                     diffs = jnp.concatenate(
                         [jnp.asarray(a).ravel() for a in self._diffs_list]
                     )
+                    # one unstable device sort (jnp.quantile's stable sort
+                    # costs ~35x more at pooled sizes; values identical)
                     qs = np.asarray(
-                        jnp.quantile(diffs, jnp.asarray([0.99, 0.95, 0.90]))
+                        M.quantiles_device(diffs, (0.99, 0.95, 0.90))
                     )
                 else:
                     diffs = np.concatenate(self._diffs_list)
