@@ -97,6 +97,24 @@ def test_raw_ingest_parity(tmp_path):
                 np.testing.assert_allclose(got, ref, rtol=1e-6)
 
 
+def test_raw_ingest_4d_first_channel(tmp_path):
+    """4D NIfTI (x,y,z,t): the raw payload arrives as [t,z,y,x] and the
+    device loader takes volume 0 as a contiguous zero-copy slice (reference
+    sitk_reader keeps channel 0 of 4D inputs)."""
+    rng = np.random.default_rng(5)
+    vol4 = rng.random((6, 5, 4, 3)).astype(np.float32)  # (x, y, z, t)
+    p = str(tmp_path / "v4.nii.gz")
+    pynifti.write_nifti(p, vol4)
+    raw, shp, slope, inter = pynifti.read_nifti_raw(p)
+    assert shp == (6, 5, 4, 3)
+    assert raw.shape == (3, 4, 5, 6)
+    first = raw[0]
+    assert first.flags["C_CONTIGUOUS"]
+    np.testing.assert_allclose(
+        first.transpose(2, 1, 0) * slope + inter, vol4[..., 0], rtol=1e-6
+    )
+
+
 def test_raw_ingest_scl_scaling(tmp_path):
     """scl_slope/scl_inter from the header reach the caller (applied on
     device in the real pipeline)."""
