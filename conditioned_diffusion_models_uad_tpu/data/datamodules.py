@@ -129,12 +129,13 @@ def _read_image(path: str, cfg: DataConfig, is_label: bool) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "target", "factor", "perc", "use_cf", "has_mask", "has_seg",
-        "keep_orig", "resized", "src_rev",
+        "keep_orig", "resized", "src_rev", "mask_shape", "seg_shape",
     ),
 )
 def _preprocess_subject_fused(
     vol, mask, seg, scales=None, *, target, factor, perc, use_cf, has_mask,
-    has_seg, keep_orig, resized, src_rev=False,
+    has_seg, keep_orig, resized, src_rev=False, mask_shape=None,
+    seg_shape=None,
 ):
     """The whole per-subject pipeline as ONE traced program (same op order as
     the host path: curvature flow on the raw image -> CropOrPad -> masked
@@ -148,7 +149,14 @@ def _preprocess_subject_fused(
     H2D link at stored width and the host never pays the ~50 ms/volume strided
     transpose copy (single-core loader-feed fix, PARITY.md "loader feed")."""
 
-    def _ingest(x, i):
+    def _ingest(x, i, packed_shape=None):
+        if packed_shape is not None:
+            # binary labels ride the H2D link bit-packed (1 bit/voxel, 8x
+            # less on a slow transport); exact 0/1 round trip
+            n = 1
+            for s in packed_shape:
+                n *= s
+            x = jnp.unpackbits(x, count=n).reshape(packed_shape)
         x = x.astype(jnp.float32)
         if src_rev:
             x = x * scales[i, 0] + scales[i, 1]
@@ -156,8 +164,8 @@ def _preprocess_subject_fused(
         return x
 
     vol = _ingest(vol, 0)
-    mask = _ingest(mask, 1) if has_mask else mask.astype(jnp.float32)
-    seg = _ingest(seg, 2) if has_seg else seg.astype(jnp.float32)
+    mask = _ingest(mask, 1, mask_shape) if has_mask else mask.astype(jnp.float32)
+    seg = _ingest(seg, 2, seg_shape) if has_seg else seg.astype(jnp.float32)
     if use_cf:
         vol = curvature_flow(vol)
     if not has_mask:
@@ -220,23 +228,43 @@ def _read_raw_rev(path: str):
     return vol, np.float32(slope), np.float32(inter)
 
 
+_PACKBITS_MIN_BYTES = 1 << 20  # below ~1 MB the host max() pass isn't worth it
+
+
+def _maybe_packbits(arr, slope, inter):
+    """Bit-pack a BINARY uint8 label volume for the H2D hop (8x fewer bytes
+    on a slow transport; the fused program unpacks exactly). Returns
+    (array, pre-pack shape or None)."""
+    if (
+        arr.dtype == np.uint8
+        and slope == 1.0 and inter == 0.0
+        and arr.size >= _PACKBITS_MIN_BYTES
+        and int(arr.max()) <= 1
+    ):
+        return np.packbits(arr.ravel()), arr.shape
+    return arr, None
+
+
 def _load_subject_device(row, cfg: DataConfig, keep_orig: bool) -> dict:
     """Device-fused variant of `load_subject`: zero-copy raw NIfTI decode on
-    host (native dtype, file memory order), one H2D upload at STORED width,
-    one fused jit (device-side widen/scale/transpose/preprocess),
-    device-resident jax.Array outputs."""
+    host (native dtype, file memory order), one H2D upload at STORED width
+    (binary labels bit-packed), one fused jit (device-side
+    unpack/widen/scale/transpose/preprocess), device-resident jax.Array
+    outputs."""
     vol, *vol_sc = _read_raw_rev(row["img_path"])
     has_mask = isinstance(row.get("mask_path", None), str) and bool(row["mask_path"])
     if has_mask:
         mask, *mask_sc = _read_raw_rev(row["mask_path"])
+        mask, mask_shape = _maybe_packbits(mask, *mask_sc)
     else:
-        mask, mask_sc = np.zeros((1, 1, 1), np.float32), [1.0, 0.0]
+        mask, mask_sc, mask_shape = np.zeros((1, 1, 1), np.float32), [1.0, 0.0], None
     seg_path = row.get("seg_path", None)
     seg_available = isinstance(seg_path, str) and bool(seg_path)
     if seg_available:
         seg, *seg_sc = _read_raw_rev(seg_path)
+        seg, seg_shape = _maybe_packbits(seg, *seg_sc)
     else:
-        seg, seg_sc = np.zeros((1, 1, 1), np.float32), [1.0, 0.0]
+        seg, seg_sc, seg_shape = np.zeros((1, 1, 1), np.float32), [1.0, 0.0], None
 
     scales = np.array([vol_sc, mask_sc, seg_sc], np.float32)
     out = dict(
@@ -251,6 +279,8 @@ def _load_subject_device(row, cfg: DataConfig, keep_orig: bool) -> dict:
             keep_orig=keep_orig,
             resized=cfg.resized_evaluation,
             src_rev=True,
+            mask_shape=mask_shape,
+            seg_shape=seg_shape,
         )
     )
     out["seg_available"] = seg_available

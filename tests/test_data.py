@@ -103,6 +103,32 @@ def test_device_preprocess_matches_host(data_root):
         assert ("seg" in dev) == ("seg" in host)
 
 
+def test_device_preprocess_packed_labels_match_host(data_root, monkeypatch):
+    """Binary uint8 masks/segs upload bit-packed (datamodules._maybe_packbits)
+    and are unpacked inside the fused program — results identical to the
+    host path. The size gate is lowered so the tiny fixture takes the packed
+    route."""
+    import dataclasses as dc
+
+    import jax
+
+    from conditioned_diffusion_models_uad_tpu.data import datamodules as dm
+
+    monkeypatch.setattr(dm, "_PACKBITS_MIN_BYTES", 1)
+    cfg_h = _cfg(data_root)
+    cfg_d = dc.replace(cfg_h, preprocess_backend="device")
+    mod = Brats21(cfg_h, fold=0)  # has both mask and seg files
+    row = mod.csv["val"].iloc[0]
+    host = load_subject(row, cfg_h, keep_orig=True)
+    dev = load_subject(row, cfg_d, keep_orig=True)
+    assert isinstance(dev["vol"], jax.Array)
+    for k in ("vol", "mask", "vol_orig", "mask_orig", "seg_orig", "seg"):
+        np.testing.assert_allclose(
+            np.asarray(dev[k]), np.asarray(host[k]), rtol=1e-5, atol=1e-5,
+            err_msg=k,
+        )
+
+
 def test_train_slice_source_epoch(data_root):
     cfg = _cfg(data_root)
     ixi = IXI(cfg, fold=0)
