@@ -237,10 +237,15 @@ class Trainer:
             if limit is not None and i >= limit:
                 break
             vi, si = self._pad_batch_idx(vi, si)
+            # keep device scalars; ONE stacked fetch below (a per-batch
+            # float() would pay one tunnel RTT per val batch)
             losses.append(
-                float(self._val_step(state, data, vi, si, jax.random.fold_in(key, i)))
+                self._val_step(state, data, vi, si, jax.random.fold_in(key, i))
             )
-        return float(np.mean(losses)) if losses else float("nan")
+        if not losses:
+            return float("nan")
+        vals = np.asarray(jnp.stack(losses))  # f64 host mean, as before
+        return float(np.mean(vals))
 
     # ------------------------------------------------------------------ #
     def fit(
