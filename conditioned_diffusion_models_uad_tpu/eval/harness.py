@@ -144,9 +144,11 @@ class EvalConfig:
     # chain the scoring program onto the reconstruction dispatch: ONE device
     # program + ONE packed fetch per volume group instead of 1 + G dispatches
     # and G fetches (bit-identical results — the same programs, chained).
-    # Auto-falls-back to separate dispatches for host-path volumes (below
-    # FUSED_MIN_VOXELS), mixed-shape groups, save_output_images, or a
-    # multi-device mesh (the sliced recon shardings stay authoritative there)
+    # On a multi-device mesh the group axis is volume-parallel (each device
+    # scores whole volumes locally) and needs volumes_per_call to be a
+    # multiple of the mesh size. Auto-falls-back to separate dispatches for
+    # host-path volumes (below FUSED_MIN_VOXELS), mixed-shape groups,
+    # save_output_images, or a group that does not divide by the mesh
     fused_dispatch: bool = True
 
     def __post_init__(self):

@@ -148,10 +148,20 @@ class VolumeReconstructor:
         reco -> residual -> metrics for the whole dispatch group, and its
         packed output is the group's ONE D2H fetch. On a high-RTT tunneled
         transport this collapses the former 1 recon dispatch + G scoring
-        dispatches + G fetches per group into 1 + 1."""
+        dispatches + G fetches per group into 1 + 1.
+
+        On a multi-device mesh the group axis is VOLUME-parallel: the slice
+        stack stays batch-sharded through the UNet, then XLA reshards so each
+        device scores whole volumes locally (no collectives inside the
+        scoring math — sorts/reductions are per-volume). Requires the group
+        size to divide by the mesh (orchestrate gates on that)."""
         if getattr(self, "_scored", None) is not None:
             return self._scored
         fn = self._reconstruct
+        # group-axis (volume-parallel) sharding constraint for the scoring
+        # stage's outputs; inputs are committed by batch_call_scored (jit
+        # in_shardings cannot be combined with the static kwargs below)
+        shb = batch_sharding(self.mesh) if self.mesh is not None else None
 
         @partial(
             jax.jit,
@@ -174,6 +184,9 @@ class VolumeReconstructor:
                 orig, reco_g, mask, seg, th_rec, th_app, loss_g, latent_g,
                 **statics,
             )
+            if shb is not None:
+                diff_g = jax.lax.with_sharding_constraint(diff_g, shb)
+                packed_g = jax.lax.with_sharding_constraint(packed_g, shb)
             return diff_g, packed_g
 
         self._scored = scored
@@ -213,8 +226,22 @@ class VolumeReconstructor:
         seg = jnp.stack([jnp.asarray(s["seg_orig"], jnp.float32) for s in subs])
         th_rec = jnp.full((g,), flags["th_record"], jnp.float32)
         th_app = jnp.full((g,), flags["th_apply"], jnp.float32)
+        slices_in = jnp.concatenate(stacks, axis=0)
+        if self.mesh is not None:
+            # commit the group axis volume-parallel across the mesh (requires
+            # g to divide by the mesh; orchestrate gates on that) — each
+            # device scores whole volumes locally, no scoring collectives
+            shb = batch_sharding(self.mesh)
+            rep = replicated_sharding(self.mesh)
+            slices_in = jax.device_put(slices_in, shb)
+            orig, mask, seg = (
+                jax.device_put(a, shb) for a in (orig, mask, seg)
+            )
+            th_rec, th_app = (
+                jax.device_put(a, rep) for a in (th_rec, th_app)
+            )
         return self._scored_program()(
-            variables, jnp.concatenate(stacks, axis=0), key,
+            variables, slices_in, key,
             orig, mask, seg, th_rec, th_app,
             g=g, d=d, **flags["statics"],
         )  # (diff_g [G,H,W,D], packed_g [G,B]) — fetch packed_g ONCE

@@ -121,10 +121,15 @@ def evaluate(
             # one-dispatch reconstruct+score (EvalConfig.fused_dispatch):
             # grouped volumes run reco -> residual -> metrics as ONE device
             # program with ONE packed group fetch. Per-group fallbacks below
-            # keep host-path volumes / mixed shapes on the separate path
+            # keep host-path volumes / mixed shapes on the separate path.
+            # On a mesh the group axis is volume-parallel (each device scores
+            # whole volumes), which needs the group to divide by the mesh —
+            # e.g. volumes_per_call=16 on a v5e-8 keeps every chip at the
+            # measured-best batch-576 UNet layout
+            n_mesh = 1 if mesh is None else int(mesh.devices.size)
             fused_dispatch_ok = (
                 cfg.eval.fused_dispatch
-                and mesh is None
+                and group_n % n_mesh == 0
                 and not cfg.eval.save_output_images
             )
             from .eval.fused import parse_packed

@@ -162,3 +162,66 @@ def test_reconstructor_mesh_sharded(task_and_vars):
     out = recon(v, vol, jax.random.PRNGKey(3))
     assert out.shape == vol.shape
     assert np.isfinite(out).all()
+
+
+def test_batch_call_scored_mesh_matches_single(task_and_vars):
+    """ONE-dispatch reconstruct+score on the 8-device mesh: the group axis is
+    VOLUME-parallel (each device scores whole volumes locally; the UNet stays
+    batch-sharded) — packed metrics and residuals must match the
+    single-device fused path bit-for-bit up to float tolerance."""
+    from conditioned_diffusion_models_uad_tpu.eval.fused import parse_packed
+    from conditioned_diffusion_models_uad_tpu.eval.harness import (
+        EvalConfig,
+        EvalSession,
+    )
+
+    task, v = task_and_vars
+    rng = np.random.default_rng(5)
+    shape = (32, 32, 6)
+    subs = []
+    for i in range(8):
+        vol = rng.random(shape, dtype=np.float32)
+        seg = np.zeros(shape, np.float32)
+        seg[10:20, 8:18, 2:5] = 1.0
+        mask = (vol > 0.05).astype(np.float32)
+        subs.append(
+            {"vol": vol, "vol_orig": vol, "mask_orig": mask, "seg_orig": seg}
+        )
+
+    sess = EvalSession(
+        EvalConfig(cc_backend="device", hausdorff_backend="device"),
+        "Brats21",
+        "val",
+    )
+    flags = sess._fused_flags(shape, seg_is_host=True)
+    key = jax.random.PRNGKey(3)
+
+    mesh = local_mesh()
+    recon_m = VolumeReconstructor(task, mesh=mesh, depth_bucket=8)
+    recon_s = VolumeReconstructor(task, mesh=None, depth_bucket=8)
+    diff_m, packed_m = recon_m.batch_call_scored(v, subs, key, flags)
+    diff_s, packed_s = recon_s.batch_call_scored(v, subs, key, flags)
+
+    # outputs stay sharded over the mesh (group axis = volume-parallel)
+    assert len(diff_m.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(diff_m), np.asarray(diff_s), rtol=1e-5, atol=1e-6
+    )
+
+    llen = recon_s.latent_len(v, subs[0]["vol"], key)
+    pm, ps = np.asarray(packed_m), np.asarray(packed_s)
+    st = flags["statics"]
+    for j in range(8):
+        a = parse_packed(pm[j], shape, llen, st["pack_seg"], st["pack_maps"])
+        b = parse_packed(ps[j], shape, llen, st["pack_seg"], st["pack_maps"])
+        for k in a["scalars"]:
+            np.testing.assert_allclose(
+                a["scalars"][k], b["scalars"][k],
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+        np.testing.assert_allclose(
+            a["per_slice"], b["per_slice"], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            a["latent"], b["latent"], rtol=1e-5, atol=1e-6
+        )
