@@ -200,28 +200,17 @@ def _greedy_search_device_impl(x, y, lo0, hi0, max_steps: int = 10):
     return best_dice, best_th
 
 
-def _sorted_greedy_search_impl(x, y, lo0, hi0, max_steps: int = 10):
-    """The Zimmerer greedy quartile search on the SORTED foundation: one
-    unstable pair sort + int32 positive-count prefixes, then each of the 10
-    sequential steps evaluates Dice at a scalar threshold via one binary
-    search (rank) and one prefix lookup — instead of two full-array passes.
-    Bit-compatible trajectory with `_greedy_search_device_impl` (Dice values
-    are ratios of exact integers in both; the int32 prefix stays exact past
-    the 2^24 f32 limit, so huge pooled fits only get MORE exact).
-
-    At the val-stage pooled fit (tens of millions of voxels) this replaces
-    ~20 full passes with one ~4 ms sort: measured 16.3 s -> sub-second per
-    pooled fit on a v5e."""
+def _greedy_from_sorted(xs, cpos0, lo0, hi0, max_steps: int = 10):
+    """The greedy quartile search given an ascending-sorted value array `xs`
+    and the int32 inclusive positive-count prefix `cpos0` (length n+1,
+    cpos0[0] == 0). Each of the `max_steps` sequential steps evaluates Dice
+    at a scalar threshold via one binary search (rank) and one prefix lookup
+    instead of two full-array passes. Shared by the pooled val fit and the
+    per-volume fused scoring kernel so the two cannot diverge."""
     import jax
     import jax.numpy as jnp
 
-    x = x.astype(jnp.float32)
-    y = y.astype(jnp.float32)
-    n = x.shape[0]
-    xs, ys = jax.lax.sort((x, y), num_keys=1)
-    cpos0 = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(ys.astype(jnp.int32))]
-    )
+    n = xs.shape[0]
     n_pos = cpos0[n].astype(jnp.float32)
 
     def dice_at(th):
@@ -255,6 +244,29 @@ def _sorted_greedy_search_impl(x, y, lo0, hi0, max_steps: int = 10):
          jnp.float32(0.0), jnp.float32(0.0)),
     )
     return best_dice, best_th
+
+
+def _sorted_greedy_search_impl(x, y, lo0, hi0, max_steps: int = 10):
+    """The Zimmerer greedy quartile search on the SORTED foundation: one
+    unstable pair sort + int32 positive-count prefixes fed to
+    `_greedy_from_sorted`. Bit-compatible trajectory with
+    `_greedy_search_device_impl` (Dice values are ratios of exact integers in
+    both; the int32 prefix stays exact past the 2^24 f32 limit, so huge
+    pooled fits only get MORE exact).
+
+    At the val-stage pooled fit (tens of millions of voxels) this replaces
+    ~20 full passes with one ~4 ms sort: measured 16.3 s -> sub-second per
+    pooled fit on a v5e."""
+    import jax
+    import jax.numpy as jnp
+
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    xs, ys = jax.lax.sort((x, y), num_keys=1)
+    cpos0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(ys.astype(jnp.int32))]
+    )
+    return _greedy_from_sorted(xs, cpos0, lo0, hi0, max_steps)
 
 
 def _quantiles_sorted_impl(x, qs):
@@ -352,42 +364,20 @@ def _seg_metrics_sorted_impl(x, y, hi0):
     fp = idx + 1.0 - tp
     precision = tp / jnp.maximum(tp + fp, 1.0)
     recall = tp / jnp.maximum(n_pos, 1.0)
-    boundary = last[::-1]  # last index of each tied group in descending order
+    # last index of each tied group in DESCENDING order = the ascending-order
+    # group FIRST, reversed (there tp/fp include the whole tie group, which is
+    # what makes the result invariant to the unstable sort's tie permutation)
+    boundary = first[::-1]
     r_b = jnp.where(boundary, recall, 0.0)
     prev = jnp.concatenate([jnp.zeros((1,)), jax.lax.cummax(r_b)[:-1]])
     ap = jnp.where(boundary, (recall - prev) * precision, 0.0).sum()
 
     # ---- greedy quartile search from the sorted foundation ---------------- #
-    cpos0 = jnp.concatenate([jnp.zeros((1,)), cpos])
-
-    def dice_at(th):
-        rank = jnp.searchsorted(xs, th, side="right")
-        inter = n_pos - cpos0[rank]  # positives with value > th
-        denom = (n - rank).astype(jnp.float32) + n_pos  # |x>th| + |y|
-        return jnp.where(denom > 0, 2.0 * inter / denom, 0.0)
-
-    lo0 = jnp.float32(0.0)
-    hi0 = jnp.where(hi0 == lo0, 1.0, hi0)
-
-    def body(_, carry):
-        lo, hi, max_val, max_point = carry
-        center = lo + (hi - lo) * 0.5
-        q_bottom = lo + (hi - lo) * 0.25
-        q_top = lo + (hi - lo) * 0.75
-        val_bottom = dice_at(q_bottom)
-        val_top = dice_at(q_top)
-        take_bottom = val_bottom >= val_top
-        cand_val = jnp.where(take_bottom, val_bottom, val_top)
-        cand_point = jnp.where(take_bottom, q_bottom, q_top)
-        better = cand_val >= max_val
-        max_val = jnp.where(better, cand_val, max_val)
-        max_point = jnp.where(better, cand_point, max_point)
-        lo = jnp.where(take_bottom, lo, center)
-        hi = jnp.where(take_bottom, center, hi)
-        return lo, hi, max_val, max_point
-
-    _, _, best_dice, best_th = jax.lax.fori_loop(
-        0, 10, body, (lo0, hi0.astype(jnp.float32), jnp.float32(0.0), jnp.float32(0.0))
+    cpos0_i = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(ys.astype(jnp.int32))]
+    )
+    best_dice, best_th = _greedy_from_sorted(
+        xs, cpos0_i, jnp.float32(0.0), hi0
     )
     return auroc, ap, best_dice.astype(jnp.float32), best_th
 

@@ -105,11 +105,12 @@ class DDPMTaskConfig:
         # an eval timestep past the schedule would silently gather garbage
         # schedule entries (NaN reconstructions) — fail at config time instead
         bad = [t for t in (*self.step_ensemble, self.test_timesteps)
-               if t > self.timesteps]
+               if t > self.timesteps or t < 1]
         if bad:
             raise ValueError(
-                f"eval timesteps {bad} exceed timesteps={self.timesteps} "
-                "(step_ensemble / test_timesteps index the noise schedule)"
+                f"eval timesteps {bad} outside [1, timesteps={self.timesteps}] "
+                "(step_ensemble / test_timesteps index the noise schedule "
+                "1-based as t-1)"
             )
 
     @property

@@ -221,9 +221,9 @@ def evaluate(
                     if not fused_dispatch_ok:
                         return False
                     shapes_o = {tuple(s["vol_orig"].shape) for _, s in group}
-                    shapes_v = {
-                        tuple(np.asarray(s["vol"]).shape) for _, s in group
-                    }
+                    # .shape only — np.asarray on a device-resident "vol"
+                    # would pull the whole volume D2H just to read its shape
+                    shapes_v = {tuple(s["vol"].shape) for _, s in group}
                     return (
                         len(shapes_o) == 1
                         and len(shapes_v) == 1

@@ -244,8 +244,8 @@ class Trainer:
             )
         if not losses:
             return float("nan")
-        vals = np.asarray(jnp.stack(losses))  # f64 host mean, as before
-        return float(np.mean(vals))
+        vals = np.asarray(jnp.stack(losses), dtype=np.float64)
+        return float(np.mean(vals))  # f64 host mean, as the per-batch float() path did
 
     # ------------------------------------------------------------------ #
     def fit(

@@ -270,6 +270,33 @@ def test_seg_metrics_device_matches_host_pipeline():
     assert bt_d == pytest.approx(bt_h, abs=1e-5)
 
 
+def test_seg_metrics_device_tie_groups_with_positives():
+    """Regression: tied residual values whose tie group CONTAINS positives
+    (the realistic post-erosion/median case: lesion voxels zeroed by the
+    brain-mask erosion share the value 0 with background). The descending
+    tie-group boundary must be the ascending-order group FIRST reversed —
+    marking the group start instead silently broke sklearn AP parity and made
+    the result depend on the unstable sort's within-tie permutation."""
+    from sklearn.metrics import average_precision_score, roc_auc_score
+    from conditioned_diffusion_models_uad_tpu.eval.metrics import (
+        seg_metrics_device,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 40000
+    y = rng.uniform(size=n) > 0.99
+    x = (y * 0.4 + rng.uniform(size=n)).astype(np.float32)
+    # a large zero tie-group holding 1% of the positives (eroded lesion rim)
+    zeroed = rng.uniform(size=n) < 0.3
+    x[zeroed] = 0.0
+    # plus coarse quantization: every value ties with many others
+    xq = np.round(x * 50.0).astype(np.float32) / 50.0
+    for xs in (x, xq):
+        auc_d, ap_d, _, _ = seg_metrics_device(xs, y)
+        assert auc_d == pytest.approx(roc_auc_score(y, xs), abs=1e-5)
+        assert ap_d == pytest.approx(average_precision_score(y, xs), abs=1e-5)
+
+
 def test_full_resolution_evaluation_path():
     """resized_evaluation=False upsamples the model-res reconstruction onto
     the orig grid (align_corners=True trilinear, ref utils_eval.py:24-27)."""
