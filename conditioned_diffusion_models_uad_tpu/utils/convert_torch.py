@@ -179,3 +179,155 @@ def convert_reference_unet_state_dict(
     p["GroupNorm32_0"] = _gn(sd, "out.0")
     p["out_conv"] = _conv(sd, "out.2")
     return {"params": p}
+
+
+# --------------------------------------------------------------------------- #
+# ResNet conditioning encoder (timm/torchvision state_dict naming)
+# --------------------------------------------------------------------------- #
+def _conv_nobias(sd, key):
+    return {
+        "kernel": np.asarray(sd[f"{key}.weight"], np.float32).transpose(2, 3, 1, 0)
+    }
+
+
+def _bn(sd, key):
+    params = {
+        "scale": np.asarray(sd[f"{key}.weight"], np.float32),
+        "bias": np.asarray(sd[f"{key}.bias"], np.float32),
+    }
+    stats = {
+        "mean": np.asarray(sd[f"{key}.running_mean"], np.float32),
+        "var": np.asarray(sd[f"{key}.running_var"], np.float32),
+    }
+    return params, stats
+
+
+def convert_reference_resnet_state_dict(
+    sd: Dict[str, np.ndarray],
+    variant: str,
+    cond_dim: int | None = None,
+    prefix: str = "",
+) -> dict:
+    """timm/torchvision-style ResNet state_dict -> variables for
+    `models.resnet.ResNetEncoder` ({'params', 'batch_stats'}).
+
+    The reference's conditioning encoder is `timm.create_model(backbone,
+    in_chans=1, num_classes=cond_dim)` (DDPM_encoder.py:21) or the same net
+    inside `SparK_2D_encoder` (spark/models.py:89-109); timm ResNets use the
+    torchvision key naming mapped here (conv1/bn1, layer{1..4}.{i}.conv{j}/
+    bn{j}/downsample.{0,1}, fc). `cond_dim=None` skips the fc head — the
+    reference's own SparK-checkpoint surgery drops fc.* (DDPM_2D.py:90-93).
+    `prefix` strips a key prefix first (e.g. 'encoder.' for a full Lightning
+    checkpoint, 'sparse_encoder.sp_cnn.' for a SparK pretrain checkpoint)."""
+    from ..models.resnet import _VARIANTS
+
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    block_cls, stage_sizes, fea_dim = _VARIANTS[variant]
+    bottleneck = block_cls.__name__ == "BottleneckBlock"
+
+    bk: dict = {}
+    bk_stats: dict = {}
+    bk["stem_conv"] = _conv_nobias(sd, "conv1")
+    bk["stem_bn"], bk_stats["stem_bn"] = _bn(sd, "bn1")
+
+    n_convs = 3 if bottleneck else 2
+    for si, n_blocks in enumerate(stage_sizes):
+        for bi in range(n_blocks):
+            t = f"layer{si + 1}.{bi}"
+            name = f"stage{si + 1}_block{bi}"
+            blk: dict = {}
+            blk_stats: dict = {}
+            for j in range(1, n_convs + 1):
+                blk[f"conv{j}"] = _conv_nobias(sd, f"{t}.conv{j}")
+                blk[f"bn{j}"], blk_stats[f"bn{j}"] = _bn(sd, f"{t}.bn{j}")
+            if f"{t}.downsample.0.weight" in sd:
+                blk["down_conv"] = _conv_nobias(sd, f"{t}.downsample.0")
+                blk["down_bn"], blk_stats["down_bn"] = _bn(sd, f"{t}.downsample.1")
+            bk[name] = blk
+            bk_stats[name] = blk_stats
+
+    params: dict = {"backbone": bk}
+    if cond_dim is not None:
+        fc = _dense(sd, "fc")
+        if fc["kernel"].shape != (fea_dim, cond_dim):
+            raise ValueError(
+                f"fc shape {fc['kernel'].shape} != ({fea_dim}, {cond_dim}) "
+                f"for {variant}"
+            )
+        params["fc"] = fc
+    return {"params": params, "batch_stats": {"backbone": bk_stats}}
+
+
+# --------------------------------------------------------------------------- #
+# Full reference Lightning checkpoints -> task variables
+# --------------------------------------------------------------------------- #
+def convert_reference_ddpm_checkpoint(sd: Dict[str, np.ndarray], task) -> dict:
+    """Full reference cDDPM Lightning state_dict -> `DDPMTask` variables.
+
+    Reference DDPM_2D module attributes (DDPM_2D.py:32-77): `encoder` (timm
+    ResNet, or SparK_2D_encoder whose net lives one level deeper under
+    `encoder.encoder.*`) and `diffusion` (GaussianDiffusion holding the UNet
+    as `diffusion.model.*` plus recomputed schedule buffers, which are
+    skipped — our schedules are rebuilt from the config). Accepts either a
+    raw state_dict or one still wrapped in Lightning's {'state_dict': ...}."""
+    if "state_dict" in sd and not any("." in k for k in sd):
+        sd = sd["state_dict"]
+    sd = {k: v for k, v in sd.items()}
+
+    unet_sd = {
+        k[len("diffusion.model."):]: v
+        for k, v in sd.items()
+        if k.startswith("diffusion.model.")
+    }
+    if not unet_sd:
+        raise ValueError("no 'diffusion.model.*' UNet keys in checkpoint")
+    variables: dict = dict(convert_reference_unet_state_dict(
+        unet_sd, task.cfg.unet_config
+    ))
+    variables = {"params": {"unet": variables["params"]}, "batch_stats": {}}
+
+    if task.encoder is not None:
+        enc_prefix = (
+            "encoder.encoder."
+            if any(k.startswith("encoder.encoder.") for k in sd)
+            else "encoder."
+        )
+        enc = convert_reference_resnet_state_dict(
+            sd,
+            task.cfg.encoder_backbone,
+            cond_dim=task.cfg.cond_dim,
+            prefix=enc_prefix,
+        )
+        variables["params"]["encoder"] = enc["params"]
+        variables["batch_stats"]["encoder"] = enc["batch_stats"]
+    return variables
+
+
+def import_reference_spark_encoder(
+    ddpm_variables: dict, sd: Dict[str, np.ndarray], variant: str
+) -> dict:
+    """Reference SparK pretrain checkpoint ('sparse_encoder.sp_cnn.*') ->
+    conditioning-encoder backbone of existing `DDPMTask` variables — the
+    reference's cross-model checkpoint surgery (DDPM_2D.py:84-96: remap
+    `sparse_encoder.sp_cnn.* -> encoder.*`, drop `fc.*`, keep the fresh
+    cond head)."""
+    import jax
+
+    if "state_dict" in sd and not any("." in k for k in sd):
+        sd = sd["state_dict"]
+    enc = convert_reference_resnet_state_dict(
+        sd, variant, cond_dim=None, prefix="sparse_encoder.sp_cnn."
+    )
+    out = jax.tree_util.tree_map(lambda x: x, ddpm_variables)  # shallow copy
+    p = dict(out["params"])
+    e = dict(p["encoder"])
+    e["backbone"] = enc["params"]["backbone"]
+    p["encoder"] = e
+    out["params"] = p
+    bs = dict(out.get("batch_stats", {}))
+    ebs = dict(bs.get("encoder", {}))
+    ebs["backbone"] = enc["batch_stats"]["backbone"]
+    bs["encoder"] = ebs
+    out["batch_stats"] = bs
+    return out
