@@ -54,6 +54,28 @@ def _restore_variables(task, ckpt_path_or_dir: str, which: str, fold: int):
     return {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
 
 
+def _load_torch_state_dict(path: str) -> dict:
+    """Read a reference torch/Lightning .ckpt file into {key: np.ndarray}.
+    Migration entry point: `load_checkpoint=<file.ckpt>` /
+    `pretrained_encoder=<file.ckpt>` accept the reference repo's own saved
+    checkpoints (Lightning ModelCheckpoint output, src/train.py:129-161)."""
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover - torch present in this image
+        raise RuntimeError(
+            f"importing the torch checkpoint {path!r} requires torch"
+        ) from e
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
 def evaluate(
     cfg: RunConfig,
     task,
@@ -342,17 +364,40 @@ def train(cfg: RunConfig) -> dict:
         init_variables = None
         if cfg.pretrained_encoder and isinstance(task, DDPMTask):
             # SparK -> cDDPM conditioning-encoder surgery (DDPM_2D.py:79-96)
-            spark_vars = _restore_variables(
-                task, cfg.pretrained_encoder, cfg.checkpoint, fold
-            )
             base = init_state(task, jax.random.PRNGKey(cfg.seed), make_optimizer(task))
-            init_variables = import_spark_encoder(
-                state_variables(base), spark_vars
-            )
+            if os.path.isfile(cfg.pretrained_encoder):
+                # a reference torch SparK pretrain checkpoint (.ckpt file)
+                from .utils.convert_torch import import_reference_spark_encoder
+
+                init_variables = import_reference_spark_encoder(
+                    state_variables(base),
+                    _load_torch_state_dict(cfg.pretrained_encoder),
+                    cfg.model.encoder_backbone,
+                )
+            else:
+                spark_vars = _restore_variables(
+                    task, cfg.pretrained_encoder, cfg.checkpoint, fold
+                )
+                init_variables = import_spark_encoder(
+                    state_variables(base), spark_vars
+                )
 
         if cfg.only_eval:
             src_dir = cfg.load_checkpoint or os.path.join(cfg.run_dir, "checkpoints")
-            variables = _restore_variables(task, src_dir, cfg.checkpoint, fold)
+            if os.path.isfile(src_dir):
+                # a reference torch Lightning checkpoint file: convert in place
+                if not isinstance(task, DDPMTask):
+                    raise ValueError(
+                        "torch .ckpt import supports the cDDPM task family "
+                        "(Lightning DDPM_2D checkpoints)"
+                    )
+                from .utils.convert_torch import convert_reference_ddpm_checkpoint
+
+                variables = convert_reference_ddpm_checkpoint(
+                    _load_torch_state_dict(src_dir), task
+                )
+            else:
+                variables = _restore_variables(task, src_dir, cfg.checkpoint, fold)
         else:
             dm = IXI(cfg.data, fold=fold)
             state = trainer.fit(

@@ -217,6 +217,64 @@ def test_full_ddpm_checkpoint_import():
     assert np.isfinite(np.asarray(reco)).all()
 
 
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "src/models/modules/OpenAI_Unet.py")),
+    reason="reference tree not mounted",
+)
+def test_e2e_only_eval_from_torch_ckpt_file(tmp_path, monkeypatch):
+    """`only_eval=true load_checkpoint=<reference .ckpt file>` runs the full
+    eval protocol directly from a reference Lightning checkpoint — the
+    migration path for users bringing trained reference weights."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from src.models.modules.OpenAI_Unet import UNetModel as RefUNet
+
+    from conditioned_diffusion_models_uad_tpu.config import compose, materialize
+    from conditioned_diffusion_models_uad_tpu.data.synthetic import (
+        build_synthetic_root,
+    )
+    from conditioned_diffusion_models_uad_tpu.orchestrate import train
+
+    data_root = build_synthetic_root(
+        str(tmp_path / "data"), shape=(64, 64, 40),
+        n_train=1, n_val=1, n_test=1, n_eval=1,
+    )
+
+    ref_unet = RefUNet(
+        image_size=32, in_channels=1, model_channels=32, out_channels=1,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+        num_classes=16, num_head_channels=16, use_scale_shift_norm=True,
+        resblock_updown=True, use_new_attention_order=True,
+    )
+    ref_enc = _randomize(_TResNet("resnet18", num_classes=16), seed=5)
+    state_dict = {f"diffusion.model.{k}": v for k, v in ref_unet.state_dict().items()}
+    state_dict.update({f"encoder.{k}": v for k, v in ref_enc.state_dict().items()})
+    ckpt_file = tmp_path / "reference_fold0.ckpt"
+    torch.save({"state_dict": state_dict, "epoch": 3}, ckpt_file)
+
+    monkeypatch.setenv("DATA_DIR", data_root)
+    monkeypatch.setenv("LOG_DIR", str(tmp_path / "logs"))
+    cfg = materialize(compose(
+        os.path.join(os.path.dirname(__file__), "..", "configs"),
+        "cDDPM/DDPM_cond_spark_2D",
+        [
+            "name=torch_import", "only_eval=true",
+            f"load_checkpoint={ckpt_file}",
+            "model.unet_dim=32", "model.num_res_blocks=1",
+            "model.channel_mult=[1,2]", "model.attention_resolutions=[]",
+            "model.cond_dim=16", "model.encoder_backbone=resnet18",
+            "model.timesteps=20", "model.step_ensemble=[5,10]",
+            "model.test_timesteps=10", "model.dtype=float32",
+            "datamodule.image_dim=[64,64,40]", "datamodule.rescale_factor=2.0",
+            "datamodule.batch_size=2", "eval.save_output_images=false",
+        ],
+    ))
+    results = train(cfg)
+    e = results[0]["test"]["Brats21"]
+    assert np.isfinite(e["AUCPerVolMean"])
+    assert len(e["AnomalyScoreRecoPerVol"]) == 1
+
+
 def test_spark_pretrain_checkpoint_import():
     """'sparse_encoder.sp_cnn.*' keys import into an existing task's encoder
     backbone, keeping the fresh cond head (reference surgery DDPM_2D.py:84-96
