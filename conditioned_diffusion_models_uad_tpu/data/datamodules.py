@@ -39,6 +39,7 @@ from .nifti import read_nifti, read_nifti_raw
 from .transforms import (
     bspline_downsample,
     crop_or_pad,
+    crop_or_pad_dynamic,
     curvature_flow,
     nearest_downsample,
     percentile_rescale,
@@ -71,9 +72,15 @@ class DataConfig:
     # on a tunneled chip: ~tens of seconds each, amortized by the persistent
     # compile cache). Datasets preprocessed to a common grid (the reference's
     # offline pipeline registers everything to SRI24, prepare_IXI.sh) hit one
-    # shape; for heterogeneous raw shapes prefer preprocess_backend='host' or
-    # pre-resample offline (data/prepare_cli.py).
+    # shape; for heterogeneous raw shapes set `shape_bucket` below (one
+    # compile per bucket triple) or prefer preprocess_backend='host'.
     preprocess_backend: str = "host"
+    # >0: end-pad each raw array to the next multiple of `shape_bucket` per
+    # axis before upload and trace the fused device-preprocess program over
+    # the BUCKET shape with the true extent as a traced scalar — results
+    # identical to unbucketed (extent-aware curvature flow + dynamic
+    # CropOrPad), one compile per bucket instead of per raw shape
+    shape_bucket: int = 0
     unique_slice: bool = False
     start_slice: Optional[int] = None
     seq_slices: Optional[int] = None
@@ -86,6 +93,8 @@ class DataConfig:
                 f"preprocess_backend must be 'host' or 'device', got "
                 f"{self.preprocess_backend!r}"
             )
+        if int(self.shape_bucket) < 0:
+            raise ValueError(f"shape_bucket must be >= 0, got {self.shape_bucket}")
 
     @property
     def model_hw(self):
@@ -133,8 +142,8 @@ def _read_image(path: str, cfg: DataConfig, is_label: bool) -> np.ndarray:
     ),
 )
 def _preprocess_subject_fused(
-    vol, mask, seg, scales=None, *, target, factor, perc, use_cf, has_mask,
-    has_seg, keep_orig, resized, src_rev=False, mask_shape=None,
+    vol, mask, seg, scales=None, ext=None, *, target, factor, perc, use_cf,
+    has_mask, has_seg, keep_orig, resized, src_rev=False, mask_shape=None,
     seg_shape=None,
 ):
     """The whole per-subject pipeline as ONE traced program (same op order as
@@ -167,12 +176,18 @@ def _preprocess_subject_fused(
     mask = _ingest(mask, 1, mask_shape) if has_mask else mask.astype(jnp.float32)
     seg = _ingest(seg, 2, seg_shape) if has_seg else seg.astype(jnp.float32)
     if use_cf:
-        vol = curvature_flow(vol)
+        vol = curvature_flow(vol, ext=None if ext is None else ext[0])
     if not has_mask:
         mask = (vol > 0).astype(jnp.float32)
-    vol = crop_or_pad(vol, target)
-    mask = crop_or_pad(mask, target)
-    seg = crop_or_pad(seg, target) if has_seg else None
+    if ext is None:
+        cop = lambda x, i: crop_or_pad(x, target)
+    else:
+        # shape-bucketed inputs: true per-array extents traced (ext[i]);
+        # the mask derived from vol shares vol's extent
+        cop = lambda x, i: crop_or_pad_dynamic(x, ext[i], target)
+    vol = cop(vol, 0)
+    mask = cop(mask, 1 if has_mask else 0)
+    seg = cop(seg, 2) if has_seg else None
     vol = percentile_rescale(vol, mask, 0.0, 1.0, perc[0], perc[1])
 
     out = {}
@@ -245,16 +260,40 @@ def _maybe_packbits(arr, slope, inter):
     return arr, None
 
 
+def _pad_to_bucket(arr: np.ndarray, bucket: int) -> np.ndarray:
+    """End-pad each axis with zeros to the next multiple of `bucket`."""
+    tgt = tuple(-(-s // bucket) * bucket for s in arr.shape)
+    if tgt == arr.shape:
+        return arr
+    out = np.zeros(tgt, arr.dtype)
+    out[tuple(slice(0, s) for s in arr.shape)] = arr
+    return out
+
+
 def _load_subject_device(row, cfg: DataConfig, keep_orig: bool) -> dict:
     """Device-fused variant of `load_subject`: zero-copy raw NIfTI decode on
     host (native dtype, file memory order), one H2D upload at STORED width
     (binary labels bit-packed), one fused jit (device-side
     unpack/widen/scale/transpose/preprocess), device-resident jax.Array
-    outputs."""
+    outputs.
+
+    cfg.shape_bucket > 0: each raw array is end-padded to the next bucket
+    multiple per axis (one host memcpy) and its true xyz extent rides along
+    as a traced scalar row of `ext` — heterogeneous raw shapes then share one
+    compiled program per bucket triple instead of one per shape."""
+    bucket = int(cfg.shape_bucket)
+    ext = np.ones((3, 3), np.int32) if bucket else None
+
     vol, *vol_sc = _read_raw_rev(row["img_path"])
+    if bucket:
+        ext[0] = vol.shape[::-1]  # post-transpose (xyz) extent
+        vol = _pad_to_bucket(vol, bucket)
     has_mask = isinstance(row.get("mask_path", None), str) and bool(row["mask_path"])
     if has_mask:
         mask, *mask_sc = _read_raw_rev(row["mask_path"])
+        if bucket:
+            ext[1] = mask.shape[::-1]
+            mask = _pad_to_bucket(mask, bucket)
         mask, mask_shape = _maybe_packbits(mask, *mask_sc)
     else:
         mask, mask_sc, mask_shape = np.zeros((1, 1, 1), np.float32), [1.0, 0.0], None
@@ -262,6 +301,9 @@ def _load_subject_device(row, cfg: DataConfig, keep_orig: bool) -> dict:
     seg_available = isinstance(seg_path, str) and bool(seg_path)
     if seg_available:
         seg, *seg_sc = _read_raw_rev(seg_path)
+        if bucket:
+            ext[2] = seg.shape[::-1]
+            seg = _pad_to_bucket(seg, bucket)
         seg, seg_shape = _maybe_packbits(seg, *seg_sc)
     else:
         seg, seg_sc, seg_shape = np.zeros((1, 1, 1), np.float32), [1.0, 0.0], None
@@ -269,7 +311,7 @@ def _load_subject_device(row, cfg: DataConfig, keep_orig: bool) -> dict:
     scales = np.array([vol_sc, mask_sc, seg_sc], np.float32)
     out = dict(
         _preprocess_subject_fused(
-            vol, mask, seg, scales,
+            vol, mask, seg, scales, ext,
             target=tuple(cfg.image_dim),
             factor=cfg.rescale_factor,
             perc=(cfg.perc_low, cfg.perc_high),

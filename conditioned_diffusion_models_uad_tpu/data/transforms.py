@@ -90,15 +90,99 @@ def percentile_rescale(
 # -----------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("target", "pad_value"))
+def crop_or_pad_dynamic(vol, ext, target: tuple, pad_value: float = 0.0):
+    """`crop_or_pad` for a volume whose TRUE extent `ext` (a traced [3] int
+    array) may be smaller than its (bucket-padded) array shape — the
+    shape-bucketing device-preprocess path: one compiled program serves every
+    raw shape within a bucket. Everything at indices >= ext along an axis
+    must already equal `pad_value`. Per axis: statically pad `t` on both
+    sides, then take ONE dynamic slice of length t whose start encodes the
+    tio.CropOrPad ceil-front crop/pad split."""
+    import jax
+
+    out = vol
+    for ax, t in enumerate(target):
+        n = ext[ax]
+        pads = [(0, 0)] * out.ndim
+        pads[ax] = (t, t)
+        p = jnp.pad(out, pads, constant_values=pad_value)
+        start = t + jnp.where(n >= t, (n - t + 1) // 2, -((t - n + 1) // 2))
+        starts = [jnp.int32(0)] * out.ndim
+        starts[ax] = start.astype(jnp.int32)
+        sizes = list(out.shape)
+        sizes[ax] = t
+        out = jax.lax.dynamic_slice(p, starts, sizes)
+    return out
+
+
+def zero_beyond_extent(vol, ext):
+    """Zero all positions at or past the true extent along each axis."""
+    for ax in range(vol.ndim):
+        idx = jnp.arange(vol.shape[ax])
+        shape = [1] * vol.ndim
+        shape[ax] = -1
+        vol = vol * (idx < ext[ax]).reshape(shape).astype(vol.dtype)
+    return vol
+
+
+def _shift_clamped(I, d, ext):
+    """Neighbor shift with edge replication AT THE TRUE EXTENT: equivalent to
+    slicing an edge-padded copy of I[:ext] — per axis, gather with indices
+    clip(arange + d, 0, ext-1)."""
+    out = I
+    for ax, dd in enumerate(d):
+        if dd == 0:
+            continue
+        idx = jnp.clip(jnp.arange(I.shape[ax]) + dd, 0, ext[ax] - 1)
+        out = jnp.take(out, idx, axis=ax)
+    return out
+
+
 @partial(jax.jit, static_argnames=("iterations",))
 def curvature_flow(
-    vol: jax.Array, timestep: float = 0.125, iterations: int = 3
+    vol: jax.Array, timestep: float = 0.125, iterations: int = 3, ext=None
 ) -> jax.Array:
     """Mean-curvature-flow denoising I_t = kappa * |grad I| on a 3D volume,
     central-difference discretization (the sitk.CurvatureFlow capability;
     exact ITK stencil details differ slightly — this is a preprocessing
-    smoother, validated for statistical parity in tests)."""
+    smoother, validated for statistical parity in tests).
+
+    `ext`: optional traced [3] true extent for bucket-padded inputs — the
+    stencil then edge-replicates at the true boundary (identical arithmetic
+    to running on the unpadded array) and the result is re-zeroed beyond the
+    extent."""
     v = vol.astype(jnp.float32)
+
+    if ext is not None:
+
+        def step(_, I):
+            sh = lambda dx, dy, dz: _shift_clamped(I, (dx, dy, dz), ext)
+            c = I
+            xp, xm = sh(1, 0, 0), sh(-1, 0, 0)
+            yp, ym = sh(0, 1, 0), sh(0, -1, 0)
+            zp, zm = sh(0, 0, 1), sh(0, 0, -1)
+            ix = (xp - xm) * 0.5
+            iy = (yp - ym) * 0.5
+            iz = (zp - zm) * 0.5
+            ixx = xp - 2 * c + xm
+            iyy = yp - 2 * c + ym
+            izz = zp - 2 * c + zm
+            ixy = (sh(1, 1, 0) - sh(1, -1, 0) - sh(-1, 1, 0) + sh(-1, -1, 0)) * 0.25
+            ixz = (sh(1, 0, 1) - sh(1, 0, -1) - sh(-1, 0, 1) + sh(-1, 0, -1)) * 0.25
+            iyz = (sh(0, 1, 1) - sh(0, 1, -1) - sh(0, -1, 1) + sh(0, -1, -1)) * 0.25
+            g2 = ix**2 + iy**2 + iz**2
+            num = (
+                ixx * (iy**2 + iz**2)
+                + iyy * (ix**2 + iz**2)
+                + izz * (ix**2 + iy**2)
+                - 2 * (ix * iy * ixy + ix * iz * ixz + iy * iz * iyz)
+            )
+            upd = jnp.where(g2 > 1e-12, num / (g2 + 1e-12), 0.0)
+            return I + timestep * upd
+
+        out = jax.lax.fori_loop(0, iterations, step, v)
+        return zero_beyond_extent(out, ext)
 
     def step(_, I):
         Ip = jnp.pad(I, 1, mode="edge")
