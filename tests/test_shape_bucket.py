@@ -62,6 +62,32 @@ def test_crop_or_pad_dynamic_matches_static(true_shape, target):
     np.testing.assert_array_equal(got, want)
 
 
+def test_crop_or_pad_dynamic_fuzz():
+    """Randomized extents/targets (crop & pad mixed per axis, extent equal to
+    or far from the bucket boundary) against the static reference."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        true_shape = tuple(int(rng.integers(3, 40)) for _ in range(3))
+        target = tuple(int(rng.integers(3, 40)) for _ in range(3))
+        vol = rng.normal(size=true_shape).astype(np.float32)
+        want = crop_or_pad(vol, target)
+        bucket = int(rng.choice([4, 8, 16]))
+        padded = np.zeros(
+            tuple(-(-s // bucket) * bucket for s in true_shape), np.float32
+        )
+        padded[tuple(slice(0, s) for s in true_shape)] = vol
+        got = np.asarray(
+            crop_or_pad_dynamic(
+                jnp.asarray(padded), jnp.asarray(true_shape, jnp.int32), target
+            )
+        )
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"{true_shape} -> {target} bucket {bucket}"
+        )
+
+
 def test_curvature_flow_extent_aware_matches_plain():
     import jax.numpy as jnp
 
