@@ -43,6 +43,7 @@ from .transforms import (
     curvature_flow,
     nearest_downsample,
     percentile_rescale,
+    zero_beyond_extent,
 )
 
 
@@ -170,6 +171,12 @@ def _preprocess_subject_fused(
         if src_rev:
             x = x * scales[i, 0] + scales[i, 1]
             x = jnp.transpose(x, tuple(reversed(range(x.ndim))))
+        if ext is not None:
+            # bucket padding was zeros in STORED units; scl_inter != 0 turns
+            # it into `inter`, breaking crop_or_pad_dynamic's beyond-extent ==
+            # pad_value precondition and the derived (vol > 0) mask — re-zero
+            # past the true extent (free: fuses into the scale multiply)
+            x = zero_beyond_extent(x, ext[i])
         return x
 
     vol = _ingest(vol, 0)

@@ -161,8 +161,14 @@ def read_nifti_raw(path: str):
     return arr, shape, float(slope), float(inter)
 
 
-def write_nifti(path: str, vol: np.ndarray, spacing=(1.0, 1.0, 1.0)) -> None:
-    """Write a volume (x, y, z) as NIfTI-1 (.nii or .nii.gz by extension)."""
+def write_nifti(
+    path: str, vol: np.ndarray, spacing=(1.0, 1.0, 1.0),
+    slope: float = 1.0, inter: float = 0.0,
+) -> None:
+    """Write a volume (x, y, z) as NIfTI-1 (.nii or .nii.gz by extension).
+
+    `vol` is the STORED payload; slope/inter are recorded in the header so
+    readers produce vol*slope + inter (NIfTI-1 scl_slope/scl_inter)."""
     vol = np.asarray(vol)
     code = _CODES.get(vol.dtype)
     if code is None:
@@ -178,8 +184,8 @@ def write_nifti(path: str, vol: np.ndarray, spacing=(1.0, 1.0, 1.0)) -> None:
     pd = [1.0] + list(spacing) + [1.0] * (7 - len(spacing))
     struct.pack_into("<8f", hdr, 76, *pd[:8])
     struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
-    struct.pack_into("<f", hdr, 112, 1.0)  # scl_slope
-    struct.pack_into("<f", hdr, 116, 0.0)  # scl_inter
+    struct.pack_into("<f", hdr, 112, float(slope))  # scl_slope
+    struct.pack_into("<f", hdr, 116, float(inter))  # scl_inter
     # sform/qform: identity-ish, qform_code = sform_code = 0 (index space only)
     hdr[344:348] = b"n+1\x00"
     payload = bytes(hdr) + b"\x00" * 4 + np.ascontiguousarray(

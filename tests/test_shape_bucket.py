@@ -139,6 +139,43 @@ def test_bucketed_device_preprocess_matches_unbucketed(data_root, monkeypatch):
         )
 
 
+@pytest.mark.parametrize("use_cf", [False, True])
+def test_bucketed_matches_unbucketed_with_scl_inter(tmp_path, use_cf):
+    """scl_inter != 0 regression: bucket padding is zeros in STORED units, so
+    the device-side `x*slope + inter` fold turns the padded margin into
+    `inter` — which must be re-zeroed before crop_or_pad_dynamic / the derived
+    `(vol > 0)` mask consume it (advisor r2, datamodules._ingest). int16
+    payload with slope=0.02, inter=-3.0; raw shape NOT a bucket multiple; the
+    use_cf=False leg exercises the derived-mask route directly. inter is
+    POSITIVE: the rescale clip hides a negative-inter margin (it maps below
+    p_low either way), while a positive margin flips the derived mask to 1
+    there and leaks through crop_or_pad_dynamic unclipped."""
+    from conditioned_diffusion_models_uad_tpu.data import datamodules as dm
+    from conditioned_diffusion_models_uad_tpu.data.nifti import write_nifti
+
+    rng = np.random.default_rng(11)
+    true_shape = (34, 30, 18)
+    stored = rng.integers(0, 2000, size=true_shape).astype(np.int16)
+    stored[:3] = 0  # keep a genuinely empty margin so the mask is non-trivial
+    p = str(tmp_path / "scaled.nii.gz")
+    write_nifti(p, stored, slope=0.02, inter=3.0)
+    row = {"img_path": p, "img_name": "scaled"}
+
+    cfg = DataConfig(
+        data_dir=str(tmp_path), image_dim=(32, 32, 16), rescale_factor=2.0,
+        batch_size=2, use_curvature_flow=use_cf, preprocess_backend="device",
+    )
+    plain = dm._load_subject_device(row, cfg, keep_orig=True)
+    bucketed = dm._load_subject_device(
+        row, dc.replace(cfg, shape_bucket=16), keep_orig=True
+    )
+    for k in ("vol", "mask", "vol_orig", "mask_orig"):
+        np.testing.assert_allclose(
+            np.asarray(bucketed[k]), np.asarray(plain[k]),
+            rtol=1e-5, atol=1e-5, err_msg=f"{k} use_cf={use_cf}",
+        )
+
+
 def test_bucketed_shapes_share_one_compile(data_root, tmp_path):
     """Two raw shapes inside the same bucket triple -> ONE traced program."""
     from conditioned_diffusion_models_uad_tpu.data import datamodules as dm
