@@ -271,10 +271,26 @@ class EvalSession:
                     self._commit_turn += 1
                 self._commit_cv.notify_all()
 
-    def test_step(self, *args, **kwargs) -> None:
-        batch_idx = kwargs.get("batch_idx", args[4] if len(args) > 4 else 0)
+    def test_step(
+        self,
+        final_volume: np.ndarray,
+        data_orig: np.ndarray,
+        data_seg: Optional[np.ndarray],
+        data_mask: np.ndarray,
+        *,
+        batch_idx: int = 0,
+        ID: str = "",
+        label_vol: int = 0,
+        aux: Optional[dict] = None,
+    ) -> None:
+        """Score one volume. `batch_idx` is KEYWORD-ONLY: it is the commit
+        turnstile's ordering token under concurrent scorer threads
+        (_ordered_commit), so the contract must be explicit at call sites."""
         try:
-            return self._test_step_impl(*args, **kwargs)
+            return self._test_step_impl(
+                final_volume, data_orig, data_seg, data_mask,
+                batch_idx=batch_idx, ID=ID, label_vol=label_vol, aux=aux,
+            )
         except BaseException:
             self._abort_turn(int(batch_idx))
             raise
@@ -285,6 +301,7 @@ class EvalSession:
         data_orig: np.ndarray,  # [H, W, D]
         data_seg: Optional[np.ndarray],  # [H, W, D] or None
         data_mask: np.ndarray,  # [H, W, D]
+        *,
         batch_idx: int = 0,
         ID: str = "",
         label_vol: int = 0,

@@ -308,7 +308,7 @@ def test_full_resolution_evaluation_path():
     orig = rng.uniform(size=(48, 48, 16)).astype(np.float32)  # full res
     seg = np.zeros_like(orig); seg[10:20, 10:20, 4:12] = 1
     mask = np.ones_like(orig)
-    sess.test_step(reco, orig, seg, mask, 0, "v0", 1)
+    sess.test_step(reco, orig, seg, mask, batch_idx=0, ID="v0", label_vol=1)
     d = sess.test_end()
     assert np.isfinite(d["AUCPerVolMean"])
     assert len(d["AnomalyScoreRecoPerVol"]) == 1
@@ -339,7 +339,7 @@ def test_eval_session_concurrent_scoring_alignment():
         orig = rng.uniform(0.2, 1.0, size=(24, 24, 6)).astype(np.float32)
         seg = np.zeros_like(orig); seg[8:16, 8:16, 1:5] = 1
         reco = orig.copy(); reco[8:16, 8:16, 1:5] -= 0.1 * (i + 1)
-        sess.test_step(reco, orig, seg, np.ones_like(orig), i, f"v{i}", 1)
+        sess.test_step(reco, orig, seg, np.ones_like(orig), batch_idx=i, ID=f"v{i}", label_vol=1)
 
     with ThreadPoolExecutor(max_workers=4) as ex:
         list(ex.map(one, range(8)))
@@ -364,9 +364,9 @@ def test_eval_session_failed_volume_releases_commit_slot():
     cfg = EvalConfig(erode_brainmask=False, median_filtering=False)
     sess = EvalSession(cfg, "Brats21", "val")
     with pytest.raises(Exception):
-        sess.test_step("not a volume", "nope", None, "nope", 0, "v0", 1)
+        sess.test_step("not a volume", "nope", None, "nope", batch_idx=0, ID="v0", label_vol=1)
     orig = rng.uniform(0.2, 1.0, size=(24, 24, 6)).astype(np.float32)
     seg = np.zeros_like(orig); seg[8:16, 8:16, 1:5] = 1
     # volume 1 commits without deadlock even though volume 0 never did
-    sess.test_step(orig * 0.9, orig, seg, np.ones_like(orig), 1, "v1", 1)
+    sess.test_step(orig * 0.9, orig, seg, np.ones_like(orig), batch_idx=1, ID="v1", label_vol=1)
     assert sess.eval_dict["IDs"] == ["v1"]

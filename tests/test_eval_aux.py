@@ -166,7 +166,7 @@ def test_eval_session_records_aux_scalars():
         sess = EvalSession(cfg, "Brats21", "val")
         aux = {"loss": jnp.float32(0.25), "latent": jnp.ones((16,)),
                "score_fn": scores}
-        sess.test_step(reco, vol, seg, mask, 0, "id0", 1, aux=aux)
+        sess.test_step(reco, vol, seg, mask, batch_idx=0, ID="id0", label_vol=1, aux=aux)
         d = sess.eval_dict
         assert len(d["latentSpace"]) == 1
         assert d["latentSpace"][0].shape == (16,)

@@ -30,7 +30,7 @@ def _run_session(monkeypatch, fused: bool, stage: str, val_threshold=None,
     sess = EvalSession(cfg, dataset, stage, threshold=val_threshold)
     for i in range(2):
         vol, reco, seg, mask = _volume(rng)
-        sess.test_step(reco, vol, seg, mask, i, f"id{i}", 1)
+        sess.test_step(reco, vol, seg, mask, batch_idx=i, ID=f"id{i}", label_vol=1)
     sess.test_end()
     return sess
 
@@ -175,7 +175,7 @@ def test_fused_aux_through_packed_fetch(monkeypatch):
         sess = EvalSession(EvalConfig(), "Brats21", "val")
         aux = {"loss": jnp.float32(0.375), "latent": jnp.asarray(latent),
                "score_fn": None}
-        sess.test_step(reco, vol, seg, mask, 0, "id0", 1, aux=aux)
+        sess.test_step(reco, vol, seg, mask, batch_idx=0, ID="id0", label_vol=1, aux=aux)
         runs[fused] = sess.eval_dict
     for d in runs.values():
         assert d["AnomalyScoreRegPerVol"] == [0.375]
@@ -200,7 +200,7 @@ def test_fused_device_resident_seg(monkeypatch):
         sess = EvalSession(EvalConfig(cc_backend="device",
                                       hausdorff_backend="device"),
                            "Brats21", "val")
-        sess.test_step(reco, vol, seg_in, mask, 0, "id0", 1)
+        sess.test_step(reco, vol, seg_in, mask, batch_idx=0, ID="id0", label_vol=1)
         results[name] = sess.eval_dict
     for k in ("DiceScorePerVol", "TPPerVol", "FPPerVol", "HausPerVol",
               "PrecisionPerVol", "RecallPerVol"):
@@ -235,7 +235,7 @@ def test_full_device_path_fetches_no_maps(monkeypatch):
         EvalConfig(cc_backend="device", hausdorff_backend="device"),
         "Brats21", "val",
     )
-    sess.test_step(reco, vol, jnp.asarray(seg), mask, 0, "id0", 1)
+    sess.test_step(reco, vol, jnp.asarray(seg), mask, batch_idx=0, ID="id0", label_vol=1)
 
     d = vol.shape[-1]
     expect = F.N_SCALARS * 4 + d * 5 * 4  # no latent, no maps

@@ -90,6 +90,6 @@ def test_eval_session_hausdorff_backend(monkeypatch):
         seg = np.zeros_like(vol)
         seg[20:34, 18:30, 8:20] = 1.0
         mask = np.ones_like(vol)
-        sess.test_step(reco, vol, seg, mask, 0, "id0", 1)
+        sess.test_step(reco, vol, seg, mask, batch_idx=0, ID="id0", label_vol=1)
         out[backend] = sess.eval_dict["HausPerVol"][0]
     np.testing.assert_allclose(out["device"], out["host"], rtol=1e-6)

@@ -97,7 +97,7 @@ def test_eval_session_pushes_grids(tmp_path, monkeypatch):
     vol = rng.random((16, 16, 12), np.float32)
     seg = np.zeros_like(vol)
     seg[4:8, 4:8, 2:5] = 1
-    sess.test_step(vol * 0.9, vol, seg, np.ones_like(vol), 0, "v0", 1)
+    sess.test_step(vol * 0.9, vol, seg, np.ones_like(vol), batch_idx=0, ID="v0", label_vol=1)
 
     run = lg.loggers[0].run
     pushed = [p for p, _ in run.logged if "Brats21/val/grid" in p]
