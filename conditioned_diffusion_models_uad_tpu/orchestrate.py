@@ -19,6 +19,7 @@ the fused device post-processing chain of eval/harness.py.
 """
 from __future__ import annotations
 
+import logging
 import os
 import pickle
 from typing import Optional
@@ -66,7 +67,21 @@ def _load_torch_state_dict(path: str) -> dict:
             f"importing the torch checkpoint {path!r} requires torch"
         ) from e
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # safe path first: no arbitrary-pickle code execution from an
+        # externally produced checkpoint file
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Lightning ckpts embed non-tensor objects (hparams, callbacks) that
+        # weights_only rejects; fall back only on explicit opt-in
+        if os.environ.get("UAD_UNSAFE_TORCH_LOAD", "") in ("", "0"):
+            raise RuntimeError(
+                f"{path!r} is not loadable with torch.load(weights_only=True) "
+                "(it embeds pickled non-tensor objects, which execute code at "
+                "load time). If you trust this file, set "
+                "UAD_UNSAFE_TORCH_LOAD=1 to allow the unsafe loader."
+            )
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     out = {}
@@ -154,6 +169,20 @@ def evaluate(
                 and group_n % n_mesh == 0
                 and not cfg.eval.save_output_images
             )
+            if (
+                cfg.eval.fused_dispatch
+                and group_n % n_mesh != 0
+                and not getattr(evaluate, "_warned_fused_mesh", False)
+            ):
+                evaluate._warned_fused_mesh = True
+                logging.getLogger(__name__).warning(
+                    "eval.fused_dispatch is on but eval.volumes_per_call=%d "
+                    "does not divide by the %d-device mesh — falling back to "
+                    "the separate-dispatch eval path. Set "
+                    "eval.volumes_per_call to a mesh multiple (e.g. %d) to "
+                    "keep the one-dispatch fused path.",
+                    group_n, n_mesh, 2 * n_mesh,
+                )
             from .eval.fused import parse_packed
             from .eval.harness import FUSED_MIN_VOXELS
 
@@ -169,11 +198,12 @@ def evaluate(
                         _timed_step if timing else session.test_step,
                         reco,
                         sub["vol_orig"],
-                        sub.get("seg_orig"),
+                        sub.get("seg_orig") if sub.get("seg_available", True)
+                        else None,
                         sub["mask_orig"],
-                        i,
-                        sub.get("ID", str(i)),
-                        sub.get("label", 0),
+                        batch_idx=i,
+                        ID=sub.get("ID", str(i)),
+                        label_vol=sub.get("label", 0),
                         # device scalars; the scorer thread fetches them
                         aux={"loss": raux["loss"], "latent": raux["latent"],
                              "score_fn": score_fn},
@@ -189,20 +219,27 @@ def evaluate(
                         for j, (i, sub) in enumerate(group):
                             t0 = _t.perf_counter()
                             seg_orig = sub.get("seg_orig")
+                            # honest per-volume flag: a lesion-set subject
+                            # with no seg file must be recorded as seg-less
+                            # (matching the host path's data_seg=None
+                            # handling), not scored "against" the zeros
+                            # placeholder volume as if it were a real seg
+                            seg_avail = bool(sub.get("seg_available", True))
                             parsed = parse_packed(
                                 buf[j], tuple(sub["vol_orig"].shape), llen,
                                 statics["pack_seg"], statics["pack_maps"],
                             )
                             session.test_step_precomputed(
                                 parsed, diff_g[j], flags,
-                                seg_available=True,
+                                seg_available=seg_avail,
                                 batch_idx=i,
                                 ID=sub.get("ID", str(i)),
                                 label_vol=sub.get("label", 0),
                                 score_fn=score_fn,
                                 data_seg=(
                                     seg_orig
-                                    if isinstance(seg_orig, np.ndarray)
+                                    if seg_avail
+                                    and isinstance(seg_orig, np.ndarray)
                                     else None
                                 ),
                                 seg_dev=seg_orig,

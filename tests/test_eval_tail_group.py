@@ -142,3 +142,69 @@ def test_fused_dispatch_matches_separate(tmp_path, monkeypatch):
             )
         for a, b in zip(ev_f["latentSpace"], ev_s["latentSpace"]):
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_dispatch_matches_separate_missing_seg(tmp_path, monkeypatch):
+    """A lesion-set subject WITHOUT a seg file (empty seg_path cell) must be
+    recorded identically by the fused one-dispatch path and the host path:
+    seg_available=False is threaded per volume through the grouped dispatch
+    (orchestrate._score_group), not hard-coded True — the reference treats
+    such a volume as seg-less (utils_eval.py:58-59 consumes the caller's
+    zeros), so both paths score it against zeros and must agree row for row."""
+    import dataclasses as dc
+
+    import pandas as pd
+
+    from conditioned_diffusion_models_uad_tpu.eval import harness as H
+
+    monkeypatch.setattr(H, "FUSED_MIN_VOXELS", 1000)
+
+    root = build_synthetic_root(
+        str(tmp_path / "data"), shape=(64, 64, 40), n_train=1, n_val=1,
+        n_test=1, n_eval=2, eval_sets=("Brats21",),
+    )
+    # blank the FIRST subject's seg in both eval splits: the group then mixes
+    # a seg-less volume with a normal one inside one fused dispatch
+    for split in ("Brats21_val.csv", "Brats21_test.csv"):
+        p = f"{root}/Data/splits/{split}"
+        df = pd.read_csv(p)
+        df.loc[0, "seg_path"] = ""
+        df.to_csv(p, index=False)
+
+    base = RunConfig(
+        name="fused_noseg", seed=0, log_dir=str(tmp_path / "logs"),
+        model=DDPMTaskConfig(**TINY),
+        data=DataConfig(data_dir=root, image_dim=(64, 64, 40),
+                        rescale_factor=2.0, testsets=("Brats21",)),
+        eval=EvalConfig(save_output_images=False),
+    )
+    base.eval.volumes_per_call = 2
+    base.eval.out_dir = base.run_dir
+    task = DDPMTask(base.model)
+    variables = task.init(jax.random.PRNGKey(0))
+
+    results = {}
+    for fused in (True, False):
+        cfg = dc.replace(base, eval=dc.replace(base.eval, fused_dispatch=fused))
+        results[fused] = evaluate(
+            cfg, task, variables, fold=0, logger=_NullLogger()
+        )
+
+    for stage in ("val", "test"):
+        ev_f = results[True][stage]["Brats21"]
+        ev_s = results[False][stage]["Brats21"]
+        assert ev_f["IDs"] == ev_s["IDs"]
+        assert len(ev_f["IDs"]) == 2
+        for k in ("DiceScorePerVol", "BestDicePerVol", "AUCPerVol",
+                  "AUPRCPerVol", "TPPerVol", "FPPerVol", "FNPerVol",
+                  "HausPerVol", "AnomalyScoreRegPerVol", "lesionSizePerVol",
+                  "l1recoErrorAll", "labelPerVol", "labelPerSlice"):
+            np.testing.assert_allclose(
+                np.asarray(ev_f[k], dtype=np.float64),
+                np.asarray(ev_s[k], dtype=np.float64),
+                rtol=1e-5, atol=1e-6, err_msg=f"{stage}/{k}",
+            )
+        # the seg-less volume really is degenerate in both paths: no true
+        # positives, empty lesion
+        assert ev_f["lesionSizePerVol"][0] == 0
+        assert ev_f["TPPerVol"][0] == 0
