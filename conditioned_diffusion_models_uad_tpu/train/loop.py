@@ -306,12 +306,26 @@ class Trainer:
                 state, losses = self._epoch_scan(
                     state, data, vi_all, si_all, jax.random.fold_in(k_train, epoch)
                 )
-                steps += vi_all.shape[0]
-                last_loss = float(jax.device_get(losses)[-1])
+                # the scan already returns every step's loss — ONE stacked
+                # fetch per epoch restores the reference's per-step loss
+                # stream (Lightning logs train/loss each step,
+                # src/models/DDPM_2D.py:130-135) at log_every_n_steps
+                # cadence with zero extra device dispatches
+                loss_host = np.asarray(
+                    jax.device_get(losses), dtype=np.float64
+                )
+                n_b = int(loss_host.shape[0])
+                every = max(1, int(cfg.log_every_n_steps))
                 if self.logger is not None:
-                    self.logger.log_metrics(
-                        {"train/loss": last_loss, "epoch": epoch}, step=steps
-                    )
+                    for b in range(n_b):
+                        if (steps + b + 1) % every == 0 or b == n_b - 1:
+                            self.logger.log_metrics(
+                                {"train/loss": float(loss_host[b]),
+                                 "epoch": epoch},
+                                step=steps + b + 1,
+                            )
+                steps += n_b
+                last_loss = float(loss_host[-1])
             else:
                 every = max(1, int(cfg.log_every_n_steps))
                 n_b = vi_all.shape[0]

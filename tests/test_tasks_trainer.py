@@ -274,6 +274,35 @@ def test_log_every_n_steps_cadence(ddpm_task, tmp_path):
     assert log.train_logs == 3
 
 
+def test_epoch_scan_logs_per_step_losses(ddpm_task, tmp_path):
+    """epoch_scan already returns every step's loss; the fast path must log
+    the SAME step/cadence stream as the eager path (the reference Lightning
+    loop logs train/loss every step, src/models/DDPM_2D.py:130-135) from one
+    stacked fetch per epoch — not just the epoch's last loss."""
+    class Rec:
+        def __init__(self):
+            self.rows = []
+
+        def log_metrics(self, metrics, step=0):
+            if "train/loss" in metrics:
+                self.rows.append((step, metrics["train/loss"]))
+
+    logs = {}
+    for scan in (False, True):
+        log = Rec()
+        tcfg = TrainerConfig(max_epochs=2, ckpt_dir=str(tmp_path / str(scan)),
+                             aug_intensity=False, epoch_scan=scan,
+                             log_every_n_steps=3, seed=0,
+                             check_val_every_n_epoch=10)
+        Trainer(ddpm_task, tcfg, logger=log).fit(_source(), fold=0)
+        logs[scan] = log.rows
+    # 2 epochs x 2 steps, cadence 3: rows at step 3 (cadence) + 2, 4 (epoch
+    # ends) — identical step stream in both modes
+    assert [s for s, _ in logs[True]] == [s for s, _ in logs[False]] == [2, 3, 4]
+    for (s_a, v_a), (s_b, v_b) in zip(logs[True], logs[False]):
+        assert np.isfinite(v_a) and np.isfinite(v_b)
+
+
 def test_fast_dev_run(ddpm_task, tmp_path):
     tcfg = TrainerConfig(
         fast_dev_run=True, ckpt_dir=str(tmp_path), aug_intensity=False, seed=0
