@@ -97,6 +97,9 @@ class DDPMTaskConfig:
     spatial_transformer: bool = False  # cross-attn conditioning (ref :31)
     use_checkpoint: bool = False  # per-ResBlock remat (ref DDPM_2D_patched.py:34)
     dropout_unet: float = 0.0  # ResBlock dropout (ref DDPM_2D.py:44, default 0)
+    # fused Pallas middle-block attention (TPU): VMEM-resident scores —
+    # removes the [B, H, 576, 576] HBM buffer from the eval forward
+    fused_attention: bool = False
     dtype: str = "bfloat16"
     # optimizer (reference Adam(lr), DDPM_2D.py:305-306)
     lr: float = 1e-4
@@ -125,6 +128,7 @@ class DDPMTaskConfig:
             cond_dim=self.cond_dim if self.condition else None,
             spatial_transformer=self.spatial_transformer,
             use_checkpoint=self.use_checkpoint,
+            fused_attention=self.fused_attention,
             dropout=self.dropout_unet,
             dtype=self.dtype,
         )

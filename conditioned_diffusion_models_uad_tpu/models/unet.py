@@ -168,6 +168,9 @@ class AttentionBlock(nn.Module):
     num_heads: int = 1
     num_head_channels: int = -1
     dtype: jnp.dtype = jnp.float32
+    # fused Pallas attention (TPU): scores stay in VMEM instead of a
+    # [B, H, S, S] HBM tensor — see ops/attention_pallas.py
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -180,12 +183,19 @@ class AttentionBlock(nn.Module):
         h = GroupNorm32(dtype=self.dtype)(x)
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(h)
         qkv = qkv.reshape(b, hh * ww, 3, heads, ch)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        scale = 1.0 / math.sqrt(math.sqrt(ch))
-        logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhts,bshc->bthc", weights, v)
+        if self.fused and jax.default_backend() == "tpu":
+            from ..ops.attention_pallas import fused_attention
+
+            out = fused_attention(qkv)
+        else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            scale = 1.0 / math.sqrt(math.sqrt(ch))
+            logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
+            weights = jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1
+            ).astype(v.dtype)
+            out = jnp.einsum("bhts,bshc->bthc", weights, v)
         out = out.reshape(b, hh, ww, c)
         out = nn.Dense(
             c,
@@ -308,6 +318,9 @@ class UNetConfig:
     # `use_checkpoint` (LDM util.py:102-148, on for the patched variant);
     # TPU-idiomatic via nn.remat -> jax.checkpoint
     use_checkpoint: bool = False
+    # fused Pallas attention at every attention site (TPU only; falls back to
+    # the einsum path elsewhere): removes the [B, H, S, S] HBM score tensor
+    fused_attention: bool = False
     dtype: str = "float32"  # 'float32' | 'bfloat16' compute dtype
 
     @property
@@ -388,6 +401,7 @@ class UNetModel(nn.Module):
                 num_heads=cfg.num_heads,
                 num_head_channels=cfg.num_head_channels,
                 dtype=dt,
+                fused=cfg.fused_attention,
             )(h)
 
         # --- encoder ---------------------------------------------------------
