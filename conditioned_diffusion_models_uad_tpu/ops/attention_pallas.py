@@ -58,10 +58,12 @@ def attention_reference(qkv: jax.Array) -> jax.Array:
 
 def _attn_kernel(qkv_ref, out_ref):
     """One (batch, head) program: q/k/v rows resident in VMEM, scores never
-    leave the chip. Block shapes: qkv [1, S, 3, 1, D], out [1, S, 1, D]."""
-    q = qkv_ref[0, :, 0, 0, :]
-    k = qkv_ref[0, :, 1, 0, :]
-    v = qkv_ref[0, :, 2, 0, :]
+    leave the chip. Block shapes: qkv [1, 1, 3, S, D], out [1, 1, S, D] —
+    (S, D) must be the trailing two dims (Mosaic tiling constraint: the last
+    two block dims are the sublane/lane axes)."""
+    q = qkv_ref[0, 0, 0, :, :]
+    k = qkv_ref[0, 0, 1, :, :]
+    v = qkv_ref[0, 0, 2, :, :]
     scale = 1.0 / math.sqrt(math.sqrt(q.shape[-1]))
     # scale in the INPUT dtype first (bit-matches the einsum path's q*scale)
     qs = q * jnp.asarray(scale, q.dtype)
@@ -77,34 +79,38 @@ def _attn_kernel(qkv_ref, out_ref):
         dimension_numbers=(((1,), (0,)), ((), ())),  # [S, D]
         preferred_element_type=jnp.float32,
     )
-    out_ref[0, :, 0, :] = out.astype(out_ref.dtype)
+    out_ref[0, 0, :, :] = out.astype(out_ref.dtype)
 
 
 def _fused_attention_fwd_impl(qkv: jax.Array, *, interpret: bool) -> jax.Array:
     b, s, three, h, d = qkv.shape
     assert three == 3, f"expected qkv axis of size 3, got {three}"
-    out_shape = jax.ShapeDtypeStruct((b, s, h, d), qkv.dtype)
+    # (S, D) must be the trailing two dims for the kernel's VMEM blocks; the
+    # [B,S,3,H,D] -> [B,H,3,S,D] transpose is O(B*S*H*D) HBM traffic —
+    # negligible next to the O(B*H*S^2) score tensor this kernel removes
+    qkv_t = jnp.transpose(qkv, (0, 3, 2, 1, 4))
     flops = 2 * 2 * b * h * s * s * d  # two matmuls per (b, h)
-    bytes_accessed = qkv.size * qkv.dtype.itemsize + b * s * h * d * qkv.dtype.itemsize
-    return pl.pallas_call(
+    bytes_accessed = 2 * qkv.size * qkv.dtype.itemsize
+    out = pl.pallas_call(
         _attn_kernel,
         grid=(b, h),
         in_specs=[
             pl.BlockSpec(
-                (1, s, 3, 1, d),
-                lambda i, j: (i, 0, 0, j, 0),
+                (1, 1, 3, s, d),
+                lambda i, j: (i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, s, 1, d), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
+            (1, 1, s, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), qkv.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=b * h * s * s
         ),
         interpret=interpret,
-    )(qkv)
+    )(qkv_t)
+    return jnp.transpose(out, (0, 2, 1, 3))  # -> [B, S, H, D]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
