@@ -391,13 +391,44 @@ def materialize(tree: dict) -> RunConfig:
     return rc
 
 
-def print_config(tree: dict) -> None:
+# group print order of the reference's rich dump (src/utils/utils.py:70-77);
+# groups it doesn't name (task, eval, ...) are appended so nothing is hidden
+_PRINT_FIELDS = ("trainer", "model", "datamodule", "callbacks", "logger", "seed")
+
+
+def print_config(tree: dict, run_dir: Optional[str] = None) -> None:
     """Pretty-print the composed config tree at run start (the reference's
-    rich config dump, src/utils/utils.py:68-104; plain YAML here — rich is
-    not in this image)."""
-    print("── composed config " + "─" * 47)
-    print(yaml.safe_dump(tree, sort_keys=False, default_flow_style=None).rstrip())
-    print("─" * 66)
+    rich tree dump, src/utils/utils.py:68-104): one branch per top-level
+    group with YAML-highlighted content, mirrored to ``config_tree.txt`` in
+    the run dir. Falls back to a plain YAML dump if rich is unavailable."""
+    try:
+        import rich.console
+        import rich.syntax
+        import rich.tree
+    except Exception:
+        print("── composed config " + "─" * 47)
+        print(yaml.safe_dump(tree, sort_keys=False, default_flow_style=None).rstrip())
+        print("─" * 66)
+        return
+
+    style = "dim"
+    rtree = rich.tree.Tree("CONFIG", style=style, guide_style=style)
+    fields = [f for f in _PRINT_FIELDS if f in tree]
+    fields += [k for k in tree if k not in fields]
+    for field in fields:
+        branch = rtree.add(field, style=style, guide_style=style)
+        section = tree[field]
+        content = (
+            yaml.safe_dump(section, sort_keys=False, default_flow_style=None)
+            if isinstance(section, dict)
+            else str(section)
+        )
+        branch.add(rich.syntax.Syntax(content.rstrip(), "yaml"))
+    rich.console.Console().print(rtree)
+    if run_dir:
+        os.makedirs(run_dir, exist_ok=True)
+        with open(os.path.join(run_dir, "config_tree.txt"), "w") as fp:
+            rich.console.Console(file=fp, force_terminal=False, width=120).print(rtree)
 
 
 def save_config(tree: dict, path: str) -> None:

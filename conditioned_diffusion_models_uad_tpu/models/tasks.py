@@ -106,6 +106,14 @@ class DDPMTaskConfig:
     # einsum path inside AttentionBlock (PARITY.md "Pallas middle-block
     # attention, measured verdict").
     fused_attention: bool = True
+    # GroupNorm apply precision: 'compute' folds γ/μ/σ into per-channel
+    # a·x+b and applies ONE compute-dtype FMA per element (stats stay f32).
+    # Default ON: the GN sites are measured VPU-bound and this is +8.3%
+    # whole-model eval throughput (831.7 → 900.6 slice-denoises/s) at
+    # 0.09% max relative deviation of the reconstruction (PARITY.md
+    # "Round-3: folded GroupNorm"). 'float32' restores the reference's
+    # exact GroupNorm32 semantics (f32 normalize+affine).
+    norm_precision: str = "compute"
     dtype: str = "bfloat16"
     # optimizer (reference Adam(lr), DDPM_2D.py:305-306)
     lr: float = 1e-4
@@ -135,6 +143,7 @@ class DDPMTaskConfig:
             spatial_transformer=self.spatial_transformer,
             use_checkpoint=self.use_checkpoint,
             fused_attention=self.fused_attention,
+            norm_precision=self.norm_precision,
             dropout=self.dropout_unet,
             dtype=self.dtype,
         )

@@ -51,13 +51,57 @@ def timestep_embedding(timesteps: jax.Array, dim: int, max_period: int = 10000):
     return emb
 
 
+class _GNParams(nn.Module):
+    """Scale/bias holder matching nn.GroupNorm's param layout so the folded
+    GN path below shares checkpoints with the f32 path bit-for-bit."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) with float32 internal math regardless of compute dtype."""
+    """GroupNorm(32) with float32 internal math regardless of compute dtype.
+
+    ``f32_apply=False`` (UNetConfig.norm_precision='compute') is the folded
+    variant: statistics in ONE f32 pass (E[x²]−E[x]², accumulated f32 from
+    the bf16 stream), the γ/μ/σ algebra folded into per-(sample,channel)
+    a·x+b coefficients, and the apply as a single compute-dtype FMA per
+    element. The GN sites are measured VPU-throughput-bound (PARITY.md
+    fused-GN verdict); this halves their per-element op count. Note flax's
+    own ``nn.GroupNorm(dtype=bf16)`` does NOT do this — it normalizes in
+    f32 and only casts the result (measured bit-identical to the f32 path)."""
 
     dtype: jnp.dtype = jnp.float32
+    f32_apply: bool = True
+    num_groups: int = 32
 
     @nn.compact
     def __call__(self, x):
+        if not self.f32_apply:
+            c = x.shape[-1]
+            g = self.num_groups
+            # param tree identical to the nn.GroupNorm branch ("GroupNorm_0")
+            scale, bias = _GNParams(c, name="GroupNorm_0")()
+            b = x.shape[0]
+            xg = x.reshape(b, -1, g, c // g)
+            xf = xg.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(1, 3))  # [b, g]
+            meansq = jnp.mean(jnp.square(xf), axis=(1, 3))
+            inv = jax.lax.rsqrt(jnp.maximum(meansq - jnp.square(mean), 0.0) + 1e-5)
+            # fold: y = x * a + b_ with a[b,c] = γ[c]·inv[b,g(c)],
+            # b_[b,c] = β[c] − μ[b,g(c)]·a[b,c]
+            gamma = scale.reshape(g, c // g)[None]  # [1, g, c//g]
+            a = gamma * inv[..., None]  # [b, g, c//g]
+            b_ = bias.reshape(g, c // g)[None] - mean[..., None] * a
+            shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+            a = a.reshape(shape).astype(x.dtype)
+            b_ = b_.reshape(shape).astype(x.dtype)
+            return x * a + b_
         orig = x.dtype
         h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, param_dtype=jnp.float32)(
             x.astype(jnp.float32)
@@ -116,12 +160,13 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     dtype: jnp.dtype = jnp.float32
+    norm_f32: bool = True  # f32 normalize+affine (GroupNorm32 semantics)
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
         in_ch = x.shape[-1]
 
-        h = GroupNorm32(dtype=self.dtype)(x)
+        h = GroupNorm32(dtype=self.dtype, f32_apply=self.norm_f32)(x)
         h = nn.silu(h)
         if self.up:
             h = jax.image.resize(
@@ -145,11 +190,12 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(dtype=self.dtype)(h) * (1 + scale) + shift
+            h = GroupNorm32(dtype=self.dtype, f32_apply=self.norm_f32)(h)
+            h = h * (1 + scale) + shift
             h = nn.silu(h)
         else:
             h = h + emb_out
-            h = GroupNorm32(dtype=self.dtype)(h)
+            h = GroupNorm32(dtype=self.dtype, f32_apply=self.norm_f32)(h)
             h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -171,6 +217,7 @@ class AttentionBlock(nn.Module):
     # fused Pallas attention (TPU): scores stay in VMEM instead of a
     # [B, H, S, S] HBM tensor — see ops/attention_pallas.py
     fused: bool = False
+    norm_f32: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -180,7 +227,7 @@ class AttentionBlock(nn.Module):
         )
         ch = c // heads
 
-        h = GroupNorm32(dtype=self.dtype)(x)
+        h = GroupNorm32(dtype=self.dtype, f32_apply=self.norm_f32)(x)
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(h)
         qkv = qkv.reshape(b, hh * ww, 3, heads, ch)
 
@@ -274,12 +321,13 @@ class SpatialTransformer(nn.Module):
     dim_head: int = 32
     depth: int = 1
     dtype: jnp.dtype = jnp.float32
+    norm_f32: bool = True
 
     @nn.compact
     def __call__(self, x, context=None):
         b, h, w, c = x.shape
         res = x
-        t = GroupNorm32(dtype=self.dtype)(x)
+        t = GroupNorm32(dtype=self.dtype, f32_apply=self.norm_f32)(x)
         t = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="proj_in")(t)
         t = t.reshape(b, h * w, c)
         for i in range(self.depth):
@@ -321,11 +369,21 @@ class UNetConfig:
     # fused Pallas attention at every attention site (TPU only; falls back to
     # the einsum path elsewhere): removes the [B, H, S, S] HBM score tensor
     fused_attention: bool = False
+    # 'float32': reference GroupNorm32 semantics — f32 normalize+affine
+    # under any compute dtype. 'compute': keep the f32 statistics but apply
+    # the normalize+affine in the compute dtype (the GN sites are measured
+    # VPU-bound; bf16 apply halves their per-element cost). Identical math
+    # when the compute dtype is float32.
+    norm_precision: str = "float32"
     dtype: str = "float32"  # 'float32' | 'bfloat16' compute dtype
 
     @property
     def compute_dtype(self):
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @property
+    def norm_f32(self) -> bool:
+        return self.norm_precision != "compute"
 
 
 class UNetModel(nn.Module):
@@ -396,12 +454,14 @@ class UNetModel(nn.Module):
                     dim_head=h.shape[-1] // heads,
                     depth=cfg.transformer_depth,
                     dtype=dt,
+                    norm_f32=cfg.norm_f32,
                 )(h, context)
             return AttentionBlock(
                 num_heads=cfg.num_heads,
                 num_head_channels=cfg.num_head_channels,
                 dtype=dt,
                 fused=cfg.fused_attention,
+                norm_f32=cfg.norm_f32,
             )(h)
 
         # --- encoder ---------------------------------------------------------
@@ -415,6 +475,7 @@ class UNetModel(nn.Module):
                     emb_channels=emb.shape[-1],
                     dropout=cfg.dropout,
                     use_scale_shift_norm=cfg.use_scale_shift_norm,
+                    norm_f32=cfg.norm_f32,
                     dtype=dt,
                     name=_res_name(),
                 )(h, emb, deterministic)
@@ -428,6 +489,7 @@ class UNetModel(nn.Module):
                         emb_channels=emb.shape[-1],
                         dropout=cfg.dropout,
                         use_scale_shift_norm=cfg.use_scale_shift_norm,
+                        norm_f32=cfg.norm_f32,
                         down=True,
                         dtype=dt,
                         name=_res_name(),
@@ -443,6 +505,7 @@ class UNetModel(nn.Module):
             emb_channels=emb.shape[-1],
             dropout=cfg.dropout,
             use_scale_shift_norm=cfg.use_scale_shift_norm,
+            norm_f32=cfg.norm_f32,
             dtype=dt,
             name=_res_name(),
         )(h, emb, deterministic)
@@ -452,6 +515,7 @@ class UNetModel(nn.Module):
             emb_channels=emb.shape[-1],
             dropout=cfg.dropout,
             use_scale_shift_norm=cfg.use_scale_shift_norm,
+            norm_f32=cfg.norm_f32,
             dtype=dt,
             name=_res_name(),
         )(h, emb, deterministic)
@@ -466,6 +530,7 @@ class UNetModel(nn.Module):
                     emb_channels=emb.shape[-1],
                     dropout=cfg.dropout,
                     use_scale_shift_norm=cfg.use_scale_shift_norm,
+                    norm_f32=cfg.norm_f32,
                     dtype=dt,
                     name=_res_name(),
                 )(h, emb, deterministic)
@@ -478,6 +543,7 @@ class UNetModel(nn.Module):
                             emb_channels=emb.shape[-1],
                             dropout=cfg.dropout,
                             use_scale_shift_norm=cfg.use_scale_shift_norm,
+                            norm_f32=cfg.norm_f32,
                             up=True,
                             dtype=dt,
                             name=_res_name(),
@@ -487,7 +553,7 @@ class UNetModel(nn.Module):
                     ds //= 2
 
         # --- output head ------------------------------------------------------
-        h = GroupNorm32(dtype=dt)(h)
+        h = GroupNorm32(dtype=dt, f32_apply=cfg.norm_f32)(h)
         h = nn.silu(h)
         h = _conv(cfg.out_channels, 3, zero_init=True, dtype=dt, name="out_conv")(h)
         return h.astype(jnp.float32)

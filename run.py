@@ -59,7 +59,7 @@ def main(argv=None):
     cfg = materialize(tree)
 
     os.makedirs(cfg.run_dir, exist_ok=True)
-    print_config(tree)
+    print_config(tree, run_dir=cfg.run_dir)
     save_config(tree, os.path.join(cfg.run_dir, "final_config.yaml"))
 
     return train(cfg)

@@ -89,3 +89,22 @@ def test_unknown_group_and_bad_topk():
         from conditioned_diffusion_models_uad_tpu.config import _parse_defaults
 
         _parse_defaults([{"nonsense": "x"}])
+
+
+def test_print_config_rich_tree(tmp_path, capsys):
+    """print_config renders the reference's rich tree (src/utils/utils.py:68-104):
+    one branch per group, mirrored to config_tree.txt in the run dir."""
+    from conditioned_diffusion_models_uad_tpu.config import print_config
+
+    os.environ.setdefault("DATA_DIR", str(tmp_path))
+    tree = compose(CONFIG_DIR)
+    print_config(tree, run_dir=str(tmp_path))
+    out = capsys.readouterr().out
+    assert "CONFIG" in out
+    path = os.path.join(str(tmp_path), "config_tree.txt")
+    assert os.path.exists(path)
+    text = open(path).read()
+    # reference field order first, then the remaining groups
+    for field in ("trainer", "model", "datamodule", "callbacks", "logger"):
+        assert field in text
+    assert "max_epochs" in text  # YAML content inside the branch
