@@ -39,8 +39,11 @@ def reco_errors(orig: jax.Array, reco: jax.Array, seg: jax.Array) -> dict:
     """Whole/healthy/unhealthy L1+L2 reconstruction errors (ref :36-49).
 
     `seg > 0` marks anomalous voxels. Means are masked means (the reference
-    indexes with the boolean mask; identical arithmetic). Jitted: all six
-    reductions are ONE device dispatch.
+    indexes with the boolean mask; identical arithmetic). An EMPTY selection
+    yields NaN — the reference's `l1_loss(x[seg > 0], …)` over zero elements
+    is NaN, which the nanmean aggregation then EXCLUDES (utils_eval.py:38-49,
+    196-256); returning 0.0 here would silently drag healthy-set aggregate
+    means to zero instead. Jitted: all six reductions are ONE device dispatch.
     """
     orig = orig.astype(jnp.float32)
     reco = reco.astype(jnp.float32)
@@ -50,7 +53,8 @@ def reco_errors(orig: jax.Array, reco: jax.Array, seg: jax.Array) -> dict:
     l2 = (reco - orig) ** 2
 
     def masked_mean(x, m):
-        return (x * m).sum() / jnp.maximum(m.sum(), 1.0)
+        n = m.sum()
+        return jnp.where(n > 0, (x * m).sum() / jnp.maximum(n, 1.0), jnp.nan)
 
     return {
         "l1recoErrorAll": l1.mean(),

@@ -111,6 +111,21 @@ def evaluate(
     preds = {"val": {}, "test": {}}
     allowed = SETS_BY_MODE.get(cfg.data.mode, list(EVAL_MODULES))
 
+    # every condition that silently disables the one-dispatch fused eval path
+    # says WHY, once per run — on heterogeneous datasets the user would
+    # otherwise quietly lose the headline eval optimization
+    warned_fallbacks: set = set()
+    log = logging.getLogger(__name__)
+
+    def _warn_fallback(reason: str, msg: str, *args) -> None:
+        if reason in warned_fallbacks:
+            return
+        warned_fallbacks.add(reason)
+        log.warning(
+            "eval.fused_dispatch is on but " + msg +
+            " — falling back to the separate-dispatch eval path.", *args,
+        )
+
     sets = [s for s in cfg.data.testsets if s in allowed]
     for setname in sets:
         # 'IXI' is the healthy hold-out (FPR-quantile thresholds on the val
@@ -169,19 +184,17 @@ def evaluate(
                 and group_n % n_mesh == 0
                 and not cfg.eval.save_output_images
             )
-            if (
-                cfg.eval.fused_dispatch
-                and group_n % n_mesh != 0
-                and not getattr(evaluate, "_warned_fused_mesh", False)
-            ):
-                evaluate._warned_fused_mesh = True
-                logging.getLogger(__name__).warning(
-                    "eval.fused_dispatch is on but eval.volumes_per_call=%d "
-                    "does not divide by the %d-device mesh — falling back to "
-                    "the separate-dispatch eval path. Set "
-                    "eval.volumes_per_call to a mesh multiple (e.g. %d) to "
-                    "keep the one-dispatch fused path.",
+            if cfg.eval.fused_dispatch and group_n % n_mesh != 0:
+                _warn_fallback(
+                    "mesh",
+                    "eval.volumes_per_call=%d does not divide by the "
+                    "%d-device mesh (set it to a mesh multiple, e.g. %d)",
                     group_n, n_mesh, 2 * n_mesh,
+                )
+            if cfg.eval.fused_dispatch and cfg.eval.save_output_images:
+                _warn_fallback(
+                    "save_images",
+                    "eval.save_output_images needs the full volumes on host",
                 )
             from .eval.fused import parse_packed
             from .eval.harness import FUSED_MIN_VOXELS
@@ -283,11 +296,26 @@ def evaluate(
                     # .shape only — np.asarray on a device-resident "vol"
                     # would pull the whole volume D2H just to read its shape
                     shapes_v = {tuple(s["vol"].shape) for _, s in group}
-                    return (
-                        len(shapes_o) == 1
-                        and len(shapes_v) == 1
-                        and int(np.prod(next(iter(shapes_o)))) > FUSED_MIN_VOXELS
-                    )
+                    if len(shapes_o) != 1 or len(shapes_v) != 1:
+                        _warn_fallback(
+                            "mixed_shapes",
+                            "a dispatch group mixes volume shapes "
+                            "(orig %s / model %s); heterogeneous-resolution "
+                            "datasets keep the separate path per mixed group "
+                            "(datamodule.shape_bucket can homogenize them)",
+                            sorted(shapes_o), sorted(shapes_v),
+                        )
+                        return False
+                    if int(np.prod(next(iter(shapes_o)))) <= FUSED_MIN_VOXELS:
+                        _warn_fallback(
+                            "small_volumes",
+                            "volumes of shape %s are below the fused-path "
+                            "size gate (%d voxels); small volumes score on "
+                            "the host where fetch cost is negligible",
+                            next(iter(shapes_o)), FUSED_MIN_VOXELS,
+                        )
+                        return False
+                    return True
 
                 def _dispatch(group):
                     # one device program per group. group_n=1 keeps the

@@ -253,3 +253,56 @@ def test_fused_fixed_threshold(monkeypatch):
             np.asarray(a.eval_dict[k], np.float64),
             np.asarray(b.eval_dict[k], np.float64), rtol=1e-4, err_msg=k,
         )
+
+
+def test_empty_seg_reco_errors_are_nan_and_excluded(monkeypatch):
+    """Reference parity for empty/full seg selections (utils_eval.py:38-49):
+    `l1_loss(x[seg > 0], …)` over zero elements is NaN, and the nanmean
+    aggregation (utils_eval.py:196-256) then EXCLUDES those volumes. A 0.0
+    placeholder would drag healthy-set Unhealthy means to zero instead."""
+    import jax.numpy as jnp
+
+    from conditioned_diffusion_models_uad_tpu.eval.postprocess import reco_errors
+
+    rng = np.random.default_rng(21)
+    vol, reco, seg, mask = _volume(rng)
+
+    # unit level: empty seg -> Unhealthy NaN; full seg -> Healthy NaN
+    e = {k: float(v) for k, v in reco_errors(
+        jnp.asarray(vol), jnp.asarray(reco), jnp.zeros_like(jnp.asarray(seg))
+    ).items()}
+    assert np.isnan(e["l1recoErrorUnhealthy"]) and np.isnan(e["l2recoErrorUnhealthy"])
+    assert np.isfinite(e["l1recoErrorHealthy"])
+    np.testing.assert_allclose(e["l1recoErrorHealthy"], e["l1recoErrorAll"], rtol=1e-6)
+    f = {k: float(v) for k, v in reco_errors(
+        jnp.asarray(vol), jnp.asarray(reco), jnp.ones_like(jnp.asarray(seg))
+    ).items()}
+    assert np.isnan(f["l1recoErrorHealthy"]) and np.isfinite(f["l1recoErrorUnhealthy"])
+
+    # session level, host AND fused paths: one lesioned volume + one volume
+    # with an all-empty seg; the aggregate Unhealthy mean must equal the
+    # lesioned volume's value alone (reference exclusion semantics)
+    for fused in (False, True):
+        monkeypatch.setattr(H, "FUSED_MIN_VOXELS", 100_000 if fused else 10**12)
+        sess = EvalSession(EvalConfig(), "Brats21", "val")
+        sess.test_step(reco, vol, seg, mask, batch_idx=0, ID="les", label_vol=1)
+        sess.test_step(reco, vol, np.zeros_like(seg), mask, batch_idx=1,
+                       ID="empty", label_vol=0)
+        sess.test_end()
+        d = sess.eval_dict
+        vals = np.asarray(d["l1recoErrorUnhealthy"], np.float64)
+        assert np.isfinite(vals[0]) and np.isnan(vals[1]), fused
+        np.testing.assert_allclose(
+            d["l1recoErrorUnhealthyMean"], vals[0], rtol=1e-6,
+            err_msg=f"fused={fused}",
+        )
+
+    # healthy-set volume (seg=None, the IXI case): Unhealthy mean is NaN on
+    # both paths, Healthy mean finite
+    for fused in (False, True):
+        monkeypatch.setattr(H, "FUSED_MIN_VOXELS", 100_000 if fused else 10**12)
+        sess = EvalSession(EvalConfig(), "IXI", "val")
+        sess.test_step(reco, vol, None, mask, batch_idx=0, ID="h", label_vol=0)
+        sess.test_end()
+        assert np.isnan(sess.eval_dict["l1recoErrorUnhealthyMean"]), fused
+        assert np.isfinite(sess.eval_dict["l1recoErrorHealthyMean"]), fused

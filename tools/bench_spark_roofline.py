@@ -2,11 +2,11 @@
 """SparK pretrain-step roofline: achieved TFLOP/s vs v5e bf16 peak for the
 full fwd+bwd masked-image-modeling step.
 
-The reference pretrains the conditioning encoder for 1100 epochs
-(configs/experiment/cDDPM/Spark_2D_pretrain.yaml; reference
-src/models/Spark_2D.py:12-127), so this is the second training path that
-dominates pipeline cost after the cDDPM fold — and the one without an MFU
-accounting (tools/bench_train_roofline.py covers the DDPM step).
+The reference pretrains the conditioning encoder for 1200 epochs
+(configs/experiment/cDDPM/Spark_2D_pretrain.yaml:28 max_epochs: 1200;
+reference src/models/Spark_2D.py:12-127), so this is the second training
+path that dominates pipeline cost after the cDDPM fold — and the one without
+an MFU accounting (tools/bench_train_roofline.py covers the DDPM step).
 
 FLOP accounting: unlike the UNet there is no analytic count in-tree for
 ResNet-50 + LightDecoder, so this uses XLA's own HLO cost analysis of the
@@ -35,7 +35,13 @@ def _cost_flops(compiled) -> float:
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):  # older jax returns [dict]
         ca = ca[0]
-    return float(ca.get("flops", 0.0))
+    flops = float(ca.get("flops", 0.0))
+    if flops <= 0.0:  # some PJRT backends report -1 / omit the key entirely
+        raise RuntimeError(
+            "cost_analysis reported no flops — the roofline numbers would be "
+            "meaningless 0% figures; use a backend with HLO cost accounting"
+        )
+    return flops
 
 
 def bench_step(batch: int, iters: int) -> dict:
@@ -60,6 +66,9 @@ def bench_step(batch: int, iters: int) -> dict:
     si = jnp.asarray(rng.integers(0, depth, batch), jnp.int32)
     key = jax.random.PRNGKey(1)
 
+    # the AOT compile exists for cost_analysis; execution below goes through
+    # the jit call path (same HLO — the persistent cache dedupes the compile),
+    # so compile_s covers the AOT compile only, not first-call latency
     t0 = time.perf_counter()
     lowered = trainer._train_step.lower(state, data, vi, si, key)
     compiled = lowered.compile()
@@ -85,7 +94,7 @@ def bench_step(batch: int, iters: int) -> dict:
         "xla_gflops_per_step": round(step_flops / 1e9, 1),
         "achieved_tflops": round(tflops, 1),
         "pct_of_v5e_bf16_peak": round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 1),
-        "compile_s": round(compile_s, 1),
+        "aot_compile_s": round(compile_s, 1),
     }
 
 
