@@ -24,8 +24,20 @@ def make_volume(
     rng: np.random.Generator,
     shape=(64, 64, 40),
     n_lesions: int = 0,
+    lesion_mode: str = "hyper",
 ):
-    """Returns (vol, brain_mask, seg) float32 arrays of `shape` in (x, y, z)."""
+    """Returns (vol, brain_mask, seg) float32 arrays of `shape` in (x, y, z).
+
+    lesion_mode: 'hyper' adds intensity (BraTS-like T1 contrast); 'hypo'
+    subtracts it (ATLAS-like stroke lesions in T1); 'midgray' replaces the
+    tissue with a FLAT patch at intensity 0.5 — a pure texture anomaly.
+    'midgray' exists for learning proofs: an untrained zero-init diffusion
+    model predicts exactly mid-gray everywhere (0 in the model's [-1,1]
+    range), so after brain-masking its residual |x-0.5| is already a strong
+    detector of ANY intensity-contrasted lesion (measured ~0.97 pixel AUROC
+    untrained) — but it scores a flat mid-gray patch LOWEST of the whole
+    brain. Only a model that learned the healthy intensity texture ranks
+    such a patch as anomalous."""
     x, y, z = shape
     gx, gy, gz = np.meshgrid(
         np.linspace(-1, 1, x), np.linspace(-1, 1, y), np.linspace(-1, 1, z),
@@ -58,7 +70,12 @@ def make_volume(
         ) <= 1.0
         lesion &= brain
         seg[lesion] = 1.0
-        vol[lesion] = np.clip(vol[lesion] + rng.uniform(0.3, 0.5), 0, 1.2)
+        if lesion_mode == "hypo":
+            vol[lesion] = np.clip(vol[lesion] - rng.uniform(0.25, 0.4), 0.05, 1.2)
+        elif lesion_mode == "midgray":
+            vol[lesion] = 0.5 + rng.normal(0, 0.01, size=int(lesion.sum()))
+        else:
+            vol[lesion] = np.clip(vol[lesion] + rng.uniform(0.3, 0.5), 0, 1.2)
 
     return vol.astype(np.float32), brain.astype(np.float32), seg
 
@@ -74,6 +91,7 @@ def build_synthetic_root(
     num_folds: int = 1,
     seed: int = 0,
     with_t2: bool = False,
+    lesion_mode: str = "hyper",
 ) -> str:
     """Create <root>/Data/{IXI,<eval sets>}/... and <root>/Data/splits/*.csv
     mirroring the reference dataset layout. Returns `root` (the DATA_DIR).
@@ -90,7 +108,8 @@ def build_synthetic_root(
     def write_subject(setname, name, lesions):
         d = os.path.join(data, setname)
         os.makedirs(d, exist_ok=True)
-        vol, mask, seg = make_volume(rng, shape, n_lesions=lesions)
+        vol, mask, seg = make_volume(rng, shape, n_lesions=lesions,
+                                     lesion_mode=lesion_mode)
         img_rel = f"/{setname}/{name}_t1.nii.gz"
         mask_rel = f"/{setname}/{name}_mask.nii.gz"
         write_nifti(data + img_rel, vol)

@@ -42,12 +42,21 @@ class MaskedBatchNorm(nn.Module):
     reference spark/encoder.py:25-35): statistics are weighted moments with the
     mask as weights; output is zeroed at inactive positions. With mask=None it
     is standard BatchNorm. `axis_name` syncs batch statistics across a mesh
-    axis (SyncBN / lax.pmean)."""
+    axis (SyncBN / lax.pmean).
+
+    ``fold_apply=True`` is the folded-normalize variant (the MaskedBatchNorm
+    twin of GroupNorm32's measured +8-20% fold, PARITY.md "folded GroupNorm"):
+    statistics stay exact f32, but γ/μ/σ/β fold into per-channel a·x+b
+    coefficients computed on the tiny [C] tensors, applied as ONE
+    compute-dtype FMA per element instead of the f32
+    subtract/multiply/scale/add chain + converts. Parameter tree and running
+    stats are identical to the f32 path — checkpoints interchange."""
 
     momentum: float = 0.9
     epsilon: float = 1e-5
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    fold_apply: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, *, use_running_average: bool = True):
@@ -86,6 +95,16 @@ class MaskedBatchNorm(nn.Module):
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
 
+        if self.fold_apply:
+            # fold on the [C] vectors: y = x·a + b with a = γ/√(σ²+ε),
+            # b = β − μ·a; stats above stay exact f32
+            a = jax.lax.rsqrt(var + self.epsilon) * scale
+            b = bias - mean * a
+            y = x.astype(self.dtype) * a.astype(self.dtype) + b.astype(self.dtype)
+            if mask is not None:
+                y = y * mask.astype(self.dtype)
+            return y
+
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
         if mask is not None:
             y = y * mask.astype(jnp.float32)
@@ -111,6 +130,7 @@ class BottleneckBlock(nn.Module):
     stride: int = 1
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    fold_norm: bool = False
 
     @nn.compact
     def __call__(self, x, active=None, *, train: bool = False):
@@ -122,7 +142,8 @@ class BottleneckBlock(nn.Module):
             m = upsample_mask(active, h.shape[1], h.shape[2])
             return h * m.astype(h.dtype), m
 
-        bn = lambda name: MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype, name=name)
+        bn = lambda name: MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                                          fold_apply=self.fold_norm, name=name)
 
         h = _conv(self.width, 1, dtype=self.dtype, name="conv1")(x)
         h, m = masked(h)
@@ -146,6 +167,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    fold_norm: bool = False
 
     @nn.compact
     def __call__(self, x, active=None, *, train: bool = False):
@@ -155,7 +177,8 @@ class BasicBlock(nn.Module):
             m = upsample_mask(active, h.shape[1], h.shape[2])
             return h * m.astype(h.dtype), m
 
-        bn = lambda name: MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype, name=name)
+        bn = lambda name: MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                                          fold_apply=self.fold_norm, name=name)
 
         h = _conv(self.width, 3, self.stride, dtype=self.dtype, name="conv1")(x)
         h, m = masked(h)
@@ -185,10 +208,17 @@ class ResNetConfig:
     in_channels: int = 1
     axis_name: Optional[str] = None
     dtype: str = "float32"
+    # 'float32' = reference-exact BN normalize; 'compute' = folded per-channel
+    # a·x+b apply in the compute dtype (stats stay f32; see MaskedBatchNorm)
+    norm_precision: str = "float32"
 
     @property
     def compute_dtype(self):
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @property
+    def fold_norm(self) -> bool:
+        return self.norm_precision == "compute"
 
     @property
     def fea_dim(self) -> int:
@@ -232,7 +262,8 @@ class ResNetBackbone(nn.Module):
             upsample_mask(active, h.shape[1], h.shape[2]) if active is not None else None
         )
         h = nn.relu(
-            MaskedBatchNorm(axis_name=cfg.axis_name, dtype=dt, name="stem_bn")(
+            MaskedBatchNorm(axis_name=cfg.axis_name, dtype=dt,
+                            fold_apply=cfg.fold_norm, name="stem_bn")(
                 h, m, use_running_average=not train
             )
         )
@@ -246,7 +277,7 @@ class ResNetBackbone(nn.Module):
                 stride = 2 if (si > 0 and bi == 0) else 1
                 h = block_cls(
                     width=w, stride=stride, axis_name=cfg.axis_name, dtype=dt,
-                    name=f"stage{si + 1}_block{bi}",
+                    fold_norm=cfg.fold_norm, name=f"stage{si + 1}_block{bi}",
                 )(h, active, train=train)
                 h = masked(h)
             feats.append(h)

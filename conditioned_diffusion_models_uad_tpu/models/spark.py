@@ -45,10 +45,17 @@ class SparKConfig:
     use_pos_emb: bool = False
     axis_name: Optional[str] = None
     dtype: str = "float32"
+    # 'float32' = reference-exact BN normalize; 'compute' = folded per-channel
+    # a·x+b BN apply in the compute dtype (see resnet.MaskedBatchNorm)
+    norm_precision: str = "float32"
 
     @property
     def compute_dtype(self):
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @property
+    def fold_norm(self) -> bool:
+        return self.norm_precision == "compute"
 
     @property
     def downsample_ratio(self) -> int:
@@ -131,17 +138,20 @@ class UNetBlock2x(nn.Module):
     cout: int
     last_act: bool = True
     dtype: jnp.dtype = jnp.float32
+    fold_norm: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         cin = x.shape[-1]
+        bn = lambda name: MaskedBatchNorm(dtype=self.dtype,
+                                          fold_apply=self.fold_norm, name=name)
         h = nn.Conv(cin, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(x)
-        h = MaskedBatchNorm(dtype=self.dtype, name="bn1")(h, None, use_running_average=not train)
+        h = bn("bn1")(h, None, use_running_average=not train)
         h = jnp.minimum(nn.relu(h), 6.0)
         h = nn.Conv(self.cout, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(h)
-        h = MaskedBatchNorm(dtype=self.dtype, name="bn2")(h, None, use_running_average=not train)
+        h = bn("bn2")(h, None, use_running_average=not train)
         if self.last_act:
             h = jnp.minimum(nn.relu(h), 6.0)
         return h
@@ -152,6 +162,7 @@ class DecoderStage(nn.Module):
 
     cout: int
     dtype: jnp.dtype = jnp.float32
+    fold_norm: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -160,9 +171,8 @@ class DecoderStage(nn.Module):
             cin, (4, 4), strides=(2, 2), padding="SAME", use_bias=True,
             dtype=self.dtype, param_dtype=jnp.float32, name="up",
         )(x)
-        return UNetBlock2x(self.cout, last_act=False, dtype=self.dtype, name="block")(
-            h, train=train
-        )
+        return UNetBlock2x(self.cout, last_act=False, dtype=self.dtype,
+                           fold_norm=self.fold_norm, name="block")(h, train=train)
 
 
 class LightDecoder(nn.Module):
@@ -172,6 +182,7 @@ class LightDecoder(nn.Module):
     dec_dim: int = 128
     num_stages: int = 5
     dtype: jnp.dtype = jnp.float32
+    fold_norm: bool = False
 
     @nn.compact
     def __call__(self, to_dec: List[Optional[jax.Array]], *, train: bool = False):
@@ -180,7 +191,8 @@ class LightDecoder(nn.Module):
         for i in range(self.num_stages):
             if i < len(to_dec) and to_dec[i] is not None:
                 x = to_dec[i] if x is None else x + to_dec[i]
-            x = DecoderStage(channels[i + 1], dtype=self.dtype, name=f"stage{i}")(
+            x = DecoderStage(channels[i + 1], dtype=self.dtype,
+                             fold_norm=self.fold_norm, name=f"stage{i}")(
                 x, train=train
             )
         return nn.Conv(
@@ -221,6 +233,7 @@ class SparKModel(nn.Module):
         rcfg = ResNetConfig(
             variant=cfg.backbone, in_channels=cfg.in_channels,
             axis_name=cfg.axis_name, dtype=cfg.dtype,
+            norm_precision=cfg.norm_precision,
         )
 
         # mask the input pixels, encode hierarchically with masked convs
@@ -237,7 +250,8 @@ class SparKModel(nn.Module):
         for i in range(cfg.pyramid):
             bcff = feats[i]
             m = upsample_mask(cur_active, bcff.shape[1], bcff.shape[2])
-            h = MaskedBatchNorm(axis_name=cfg.axis_name, dtype=dt, name=f"densify_bn{i}")(
+            h = MaskedBatchNorm(axis_name=cfg.axis_name, dtype=dt,
+                                fold_apply=cfg.fold_norm, name=f"densify_bn{i}")(
                 bcff, m, use_running_average=not train
             )
             token = self.param(
@@ -263,7 +277,8 @@ class SparKModel(nn.Module):
             d_fea //= 2
             fmap *= 2
 
-        reco = LightDecoder(cfg.dec_dim, dtype=dt, name="decoder")(to_dec, train=train)
+        reco = LightDecoder(cfg.dec_dim, dtype=dt, fold_norm=cfg.fold_norm,
+                            name="decoder")(to_dec, train=train)
         return reco.astype(jnp.float32)
 
 

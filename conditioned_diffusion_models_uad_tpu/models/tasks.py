@@ -165,7 +165,8 @@ class DDPMTask:
         self.unet = UNetModel(cfg.unet_config)
         self.encoder = (
             ResNetEncoder(
-                ResNetConfig(variant=cfg.encoder_backbone, dtype=cfg.dtype),
+                ResNetConfig(variant=cfg.encoder_backbone, dtype=cfg.dtype,
+                             norm_precision=cfg.norm_precision),
                 cond_dim=cfg.cond_dim,
             )
             if cfg.condition
@@ -530,6 +531,12 @@ class SparkTaskConfig:
     loss_strategy: str = "sum"  # L1_AE 'sum' | 'mean' (ref cfg.lossStrategy)
     use_pos_emb: bool = False
     dtype: str = "bfloat16"
+    # BatchNorm apply precision: 'compute' folds γ/μ/σ/β into per-channel
+    # a·x+b applied as ONE compute-dtype FMA per element (stats stay exact
+    # f32) — the MaskedBatchNorm twin of the UNet's folded GroupNorm
+    # (PARITY.md "folded GroupNorm"). 'float32' restores the reference's
+    # f32 normalize chain exactly.
+    norm_precision: str = "compute"
     # optimizer (reference AdamW(lr, wd .05, betas .9/.95), Spark_2D.py:123-124)
     lr: float = 2e-4
     weight_decay: float = 0.05
@@ -547,6 +554,7 @@ class SparkTaskConfig:
             loss_l2=self.loss_l2,
             use_pos_emb=self.use_pos_emb,
             dtype=self.dtype,
+            norm_precision=self.norm_precision,
         )
 
 

@@ -75,6 +75,68 @@ def test_masked_bn_statistics():
     assert abs(new_mean - 0.1 * 1.0) < 1e-3  # momentum 0.9: 0.9*0 + 0.1*1.0
 
 
+def test_masked_bn_fold_apply_parity():
+    """fold_apply folds γ/μ/σ/β into per-channel a·x+b (the MaskedBatchNorm
+    twin of the UNet's folded GroupNorm). In f32 the fold is the same algebra
+    — outputs match tightly, train AND eval mode, masked and unmasked — and
+    the running-stat updates are identical (stats never fold)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(2.0, 3.0, (4, 8, 8, 16)).astype(np.float32))
+    mask = jnp.asarray((rng.random((4, 8, 8, 1)) > 0.4).astype(np.float32))
+
+    ref = MaskedBatchNorm()
+    fold = MaskedBatchNorm(fold_apply=True)
+    variables = ref.init(jax.random.PRNGKey(0), x, mask, use_running_average=False)
+    # exercise non-trivial affine + running stats
+    variables = jax.tree.map(lambda a: a, variables)
+    variables["params"] = {
+        "scale": jnp.asarray(rng.uniform(0.5, 2.0, 16).astype(np.float32)),
+        "bias": jnp.asarray(rng.normal(0, 1, 16).astype(np.float32)),
+    }
+
+    for m in (mask, None):
+        for ura in (True, False):
+            ya, mut_a = ref.apply(variables, x, m, use_running_average=ura,
+                                  mutable=["batch_stats"])
+            yb, mut_b = fold.apply(variables, x, m, use_running_average=ura,
+                                   mutable=["batch_stats"])
+            np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                       rtol=2e-5, atol=2e-5)
+            jax.tree.map(
+                lambda p, q: np.testing.assert_allclose(np.asarray(p),
+                                                        np.asarray(q), rtol=1e-6),
+                mut_a["batch_stats"], mut_b["batch_stats"],
+            )
+
+    # bf16 compute: one FMA per element; stats still f32 -> stays close
+    xb = x.astype(jnp.bfloat16)
+    yb16 = MaskedBatchNorm(fold_apply=True, dtype=jnp.bfloat16).apply(
+        variables, xb, mask, use_running_average=True)
+    assert yb16.dtype == jnp.bfloat16
+    ya = ref.apply(variables, x, mask, use_running_average=True)
+    np.testing.assert_allclose(np.asarray(yb16, np.float32), np.asarray(ya),
+                               rtol=0.05, atol=0.1)
+
+
+def test_spark_norm_precision_compute_matches_f32():
+    """SparKConfig.norm_precision='compute' (the SparkTask default) must be a
+    drop-in: identical param/stat tree, reconstruction within bf16 noise of
+    the f32-normalize path."""
+    base = SparKConfig(backbone="resnet18", input_size=64, dec_dim=64)
+    fold = SparKConfig(backbone="resnet18", input_size=64, dec_dim=64,
+                       norm_precision="compute")
+    x = jnp.asarray(np.random.default_rng(1).random((2, 64, 64, 1)), jnp.float32)
+    active = random_mask(jax.random.PRNGKey(2), 2, base.fmap_size, base.len_keep)
+    m_a, m_b = SparKModel(base), SparKModel(fold)
+    variables = m_a.init(jax.random.PRNGKey(0), x, active)
+    assert jax.tree.structure(variables) == jax.tree.structure(
+        m_b.init(jax.random.PRNGKey(0), x, active))
+    ya = m_a.apply(variables, x, active)
+    yb = m_b.apply(variables, x, active)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), rtol=2e-4,
+                               atol=2e-4)
+
+
 def test_sparse_masking_zeroes_inactive_regions():
     """With an active grid, backbone features at masked sites must be ~0 (the
     SparK sparse-conv invariant, reference encoder.py:19-35)."""

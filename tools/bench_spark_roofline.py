@@ -44,7 +44,7 @@ def _cost_flops(compiled) -> float:
     return flops
 
 
-def bench_step(batch: int, iters: int) -> dict:
+def bench_step(batch: int, iters: int, norm_precision: str = "compute") -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -54,7 +54,9 @@ def bench_step(batch: int, iters: int) -> dict:
         Trainer, TrainerConfig, init_state,
     )
 
-    task = SparkTask(SparkTaskConfig())  # flagship: 96x96 resnet50, ratio .65
+    # flagship: 96x96 resnet50, ratio .65; norm_precision compares the folded
+    # MaskedBatchNorm apply (task default) against the f32 normalize chain
+    task = SparkTask(SparkTaskConfig(norm_precision=norm_precision))
     trainer = Trainer(task, TrainerConfig(max_epochs=1, epoch_scan=False))
     state = init_state(task, jax.random.PRNGKey(0), trainer.tx)
 
@@ -89,6 +91,7 @@ def bench_step(batch: int, iters: int) -> dict:
     return {
         "bench": "spark_roofline",
         "batch": batch,
+        "norm_precision": norm_precision,
         "s_per_step": round(dt, 4),
         "slices_per_sec": round(batch / dt, 1),
         "xla_gflops_per_step": round(step_flops / 1e9, 1),
@@ -102,20 +105,24 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--batches", nargs="+", type=int, default=[32, 128, 512])
+    p.add_argument("--norm-precision", nargs="+", default=["compute"],
+                   choices=["compute", "float32"])
     args = p.parse_args()
 
     from conditioned_diffusion_models_uad_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
 
-    for batch in args.batches:
-        try:
-            print(json.dumps(bench_step(batch, args.iters)), flush=True)
-        except Exception as e:
-            print(json.dumps({
-                "bench": "spark_roofline", "batch": batch,
-                "error": f"{type(e).__name__}: {str(e)[:200]}",
-            }), flush=True)
+    for norm in args.norm_precision:
+        for batch in args.batches:
+            try:
+                print(json.dumps(bench_step(batch, args.iters, norm)), flush=True)
+            except Exception as e:
+                print(json.dumps({
+                    "bench": "spark_roofline", "batch": batch,
+                    "norm_precision": norm,
+                    "error": f"{type(e).__name__}: {str(e)[:200]}",
+                }), flush=True)
 
 
 if __name__ == "__main__":
