@@ -533,10 +533,12 @@ class SparkTaskConfig:
     dtype: str = "bfloat16"
     # BatchNorm apply precision: 'compute' folds γ/μ/σ/β into per-channel
     # a·x+b applied as ONE compute-dtype FMA per element (stats stay exact
-    # f32) — the MaskedBatchNorm twin of the UNet's folded GroupNorm
-    # (PARITY.md "folded GroupNorm"). 'float32' restores the reference's
-    # f32 normalize chain exactly.
-    norm_precision: str = "compute"
+    # f32) — the MaskedBatchNorm twin of the UNet's folded GroupNorm.
+    # Default 'float32': MEASURED faster at the reference protocol's batch
+    # 32 (5.25 vs 8.66 ms/step in-scan; the under-batched SparK step is not
+    # normalize-bound there). 'compute' wins +5-7% only at batch >=128
+    # (PARITY.md "SparK pretrain roofline").
+    norm_precision: str = "float32"
     # optimizer (reference AdamW(lr, wd .05, betas .9/.95), Spark_2D.py:123-124)
     lr: float = 2e-4
     weight_decay: float = 0.05
