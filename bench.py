@@ -99,7 +99,7 @@ def main():
     # elapsed time covers exactly the n programs. BEST of k batches: the
     # program is deterministic, so the fastest batch is the one least
     # polluted by transport stalls (see module docstring)
-    n, k = 10, 3
+    n, k = 10, 4
     batch_dts = []
     for b in range(k):
         t0 = time.perf_counter()

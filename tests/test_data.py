@@ -67,6 +67,22 @@ def test_make_volume_lesions():
     assert mask.sum() > 0.1 * np.prod(SHAPE)
 
 
+def test_make_volume_lesion_modes():
+    """hyper lesions are brighter than healthy brain, hypo darker (ATLAS-like
+    T1 stroke contrast), midgray pinned at ~0.5 (the texture-anomaly mode the
+    learning proof documents)."""
+    rng = np.random.default_rng(2)
+    means = {}
+    for mode in ("hyper", "hypo", "midgray"):
+        vol, mask, seg = make_volume(rng, SHAPE, n_lesions=2, lesion_mode=mode)
+        assert seg.sum() > 0 and (seg * mask == seg).all()
+        healthy = vol[(mask > 0) & (seg == 0)].mean()
+        means[mode] = (vol[seg > 0].mean(), healthy)
+    assert means["hyper"][0] > means["hyper"][1] + 0.2
+    assert means["hypo"][0] < means["hypo"][1] - 0.2
+    assert abs(means["midgray"][0] - 0.5) < 0.02
+
+
 def test_load_subject_shapes(data_root):
     cfg = _cfg(data_root)
     ixi = IXI(cfg, fold=0)
