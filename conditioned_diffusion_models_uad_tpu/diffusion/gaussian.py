@@ -43,6 +43,36 @@ ModelFn = Callable[[jax.Array, jax.Array, Optional[jax.Array]], jax.Array]
 NoiseFn = Callable[[jax.Array, tuple], jax.Array]
 
 
+def split_keys(key: jax.Array, num: int = 2) -> jax.Array:
+    """`jax.random.split` generalized to a stacked per-volume key array.
+
+    key [2] -> [num, 2] (exactly jax.random.split); key [G, 2] -> [num, G, 2]
+    where slot [m, v] is bitwise what `jax.random.split(key[v], num)[m]`
+    returns alone. The eval layout-invariance contract rests on this: a
+    volume grouped into a multi-volume dispatch must consume the SAME key
+    stream it would consume dispatched alone (VERDICT r4 #1)."""
+    if key.ndim == 1:
+        return jax.random.split(key, num)
+    return jnp.moveaxis(jax.vmap(lambda k: jax.random.split(k, num))(key), 1, 0)
+
+
+def noise_for(noise_fn: NoiseFn, key: jax.Array, shape: tuple) -> jax.Array:
+    """Per-volume noise over a grouped slice stack.
+
+    key [2] draws one field over the whole leading batch axis (the single-
+    volume path, unchanged); key [G, 2] draws each volume's field from its OWN
+    key over its own `shape[0]//G` slice block and concatenates — block v is
+    bitwise what `noise_fn(key[v], (shape[0]//G,) + shape[1:])` returns alone.
+    G is static, so the loop unrolls into G independent field generations
+    (for simplex noise each is one (H, W) lattice evaluation, <1 ms of a
+    ~0.6 s eval dispatch)."""
+    if key.ndim == 1:
+        return noise_fn(key, shape)
+    g = key.shape[0]
+    sub = (shape[0] // g,) + tuple(shape[1:])
+    return jnp.concatenate([noise_fn(key[v], sub) for v in range(g)], axis=0)
+
+
 def normalize_to_neg_one_to_one(img: jax.Array) -> jax.Array:
     return img * 2.0 - 1.0
 
@@ -240,28 +270,31 @@ def p_sample_loop(
     start_t > 0 truncates the chain: x_{T'} is produced by q_sample'ing `x_start`
     to T' (the "truncated reverse sampling" capability, ref cond_DDPM.py:447-464).
     `noise_fn` selects the per-step noise source (gaussian default, or simplex).
+    `key` may be [2] (one key for the whole stack) or [G, 2] per-volume keys
+    over a grouped stack (see `noise_for`): every split and draw then runs
+    per volume, so grouped sampling is bitwise the single-volume sampling.
     """
     T = sched.num_timesteps if start_t == 0 else start_t
     if noise_fn is None:
         noise_fn = lambda k, s: jax.random.normal(k, s, dtype=jnp.float32)
 
-    init_key, loop_key = jax.random.split(key)
+    init_key, loop_key = split_keys(key)
     if start_t > 0:
         assert x_start is not None, "start_t truncation requires x_start"
         t0 = jnp.full((shape[0],), min(T, sched.num_timesteps - 1), dtype=jnp.int32)
-        img = q_sample(sched, x_start, t0, noise_fn(init_key, shape))
+        img = q_sample(sched, x_start, t0, noise_for(noise_fn, init_key, shape))
     else:
-        img = noise_fn(init_key, shape)
+        img = noise_for(noise_fn, init_key, shape)
 
     def step(carry, t):
         img, k = carry
-        k, nk = jax.random.split(k)
+        k, nk = split_keys(k)
         bt = jnp.full((shape[0],), t, dtype=jnp.int32)
         _, x0 = model_predictions(
             sched, cfg, model_fn, img, bt, cond, clip_x_start=cfg.clip_denoised
         )
         mean, _, log_var = q_posterior(sched, x0, img, bt)
-        noise = noise_fn(nk, shape)
+        noise = noise_for(noise_fn, nk, shape)
         noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
         img = mean + jnp.exp(0.5 * log_var) * noise
         return (img, k), None
@@ -328,7 +361,8 @@ def ddim_sample(
 ):
     """DDIM(η) sampler as a `lax.scan` over precomputed (t, t_next) pairs
     (ref cond_DDPM.py:466-515; timestep spacing matches the reference's
-    `linspace(0, T, steps+2)[:-1]` construction)."""
+    `linspace(0, T, steps+2)[:-1]` construction). `key` may be [2] or [G, 2]
+    per-volume keys over a grouped stack (see `noise_for`/`split_keys`)."""
     total_timesteps = sched.num_timesteps if start_t == 0 else start_t
     if noise_fn is None:
         noise_fn = lambda k, s: jax.random.normal(k, s, dtype=jnp.float32)
@@ -340,18 +374,18 @@ def ddim_sample(
     times = list(reversed(times.astype(int).tolist()))
     pairs = jnp.asarray(list(zip(times[:-1], times[1:])), dtype=jnp.int32)
 
-    init_key, loop_key = jax.random.split(key)
+    init_key, loop_key = split_keys(key)
     if start_t != 0:
         assert x_start is not None
         t0 = jnp.full((shape[0],), min(start_t, sched.num_timesteps - 1), jnp.int32)
-        img = q_sample(sched, x_start, t0, noise_fn(init_key, shape))
+        img = q_sample(sched, x_start, t0, noise_for(noise_fn, init_key, shape))
     else:
-        img = noise_fn(init_key, shape)
+        img = noise_for(noise_fn, init_key, shape)
 
     def step(carry, pair):
         img, k = carry
         t, t_next = pair[0], pair[1]
-        k, nk = jax.random.split(k)
+        k, nk = split_keys(k)
         # jnp.take: the tables are host numpy constants (see make_schedule) —
         # plain [tracer] indexing would call numpy's __array__ on the tracer
         alpha = jnp.take(sched.alphas_cumprod_prev, t, axis=0)
@@ -364,7 +398,7 @@ def ddim_sample(
             (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
         )
         c = jnp.sqrt(jnp.clip((1 - alpha_next) - sigma**2, 0.0, None))
-        noise = noise_fn(nk, shape)
+        noise = noise_for(noise_fn, nk, shape)
         noise = jnp.where(t_next > 0, noise, jnp.zeros_like(noise))
         img = x0 * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
         return (img, k), None

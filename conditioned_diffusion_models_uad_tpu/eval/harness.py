@@ -22,7 +22,6 @@ Hausdorff) run on host numpy over the small [H,W,D] volume.
 """
 from __future__ import annotations
 
-import contextlib
 import dataclasses
 import os
 from typing import Optional, Sequence
@@ -139,7 +138,9 @@ class EvalConfig:
     loader_prefetch: int = 2
     # volumes reconstructed per device dispatch (eval.volumes_per_call=2 runs
     # the UNet at the measured-best batch-576 layout and halves dispatch round
-    # trips; 1 = reference-exact per-volume noise keys)
+    # trips). Every group member draws its noise from its OWN
+    # fold_in(key, volume_idx) key inside the grouped program, so this is a
+    # pure dispatch-layout knob: metrics are identical at 1, 2, or 16
     volumes_per_call: int = 1
     # chain the scoring program onto the reconstruction dispatch: ONE device
     # program + ONE packed fetch per volume group instead of 1 + G dispatches
@@ -188,10 +189,16 @@ class EvalSession:
         # the eval_dict rows land in dataset order like the reference's
         # serialized loop (so pickled per-volume lists are reproducible and
         # aligned). Callers must pass dense 0-based batch_idx values.
+        # Ordering is a REORDER BUFFER, not a blocking turnstile: a volume
+        # scored out of order parks its commit closure and returns its thread
+        # — shape-bucketed grouping dispatches out of dataset order, and a
+        # blocking wait would deadlock a lone scorer worker that received a
+        # later-index group first.
         import threading
 
         self._commit_cv = threading.Condition()
         self._commit_turn = 0
+        self._ready: dict = {}  # batch_idx -> parked commit closure
         self._aborted: set = set()
         self._pool_bytes = 0
         self._hist = None  # (hist_pos, hist_neg) once the pool budget is hit
@@ -244,32 +251,38 @@ class EvalSession:
         rec.append(("labelPerVol", "append", int(label_vol)))
 
     # ------------------------------------------------------------------ #
-    @contextlib.contextmanager
-    def _ordered_commit(self, batch_idx: int):
-        """Serialize ONLY the commit phase in batch_idx order; the expensive
-        device fetches + host metrics above it stay concurrent."""
+    def _commit_in_order(self, batch_idx: int, apply_fn) -> None:
+        """Deposit this volume's commit closure, then drain every
+        consecutively-ready commit in batch_idx order. Non-blocking: if
+        earlier turns are still in flight the closure parks in the reorder
+        buffer and the calling thread is free — whichever thread deposits
+        the missing turn drains the run. The expensive device fetches + host
+        metrics stay concurrent; only the closures serialize (under the
+        lock, exactly one thread drains at a time)."""
         with self._commit_cv:
-            while self._commit_turn != batch_idx:
-                self._commit_cv.wait()
-            try:
-                yield
-            finally:
+            self._ready[batch_idx] = apply_fn
+            self._drain_locked()
+
+    def _drain_locked(self) -> None:
+        while True:
+            if self._commit_turn in self._aborted:
+                self._aborted.discard(self._commit_turn)
                 self._commit_turn += 1
-                while self._commit_turn in self._aborted:
-                    self._aborted.discard(self._commit_turn)
-                    self._commit_turn += 1
-                self._commit_cv.notify_all()
+                continue
+            fn = self._ready.pop(self._commit_turn, None)
+            if fn is None:
+                return
+            fn()
+            self._commit_turn += 1
 
     def _abort_turn(self, batch_idx: int) -> None:
         """A failed test_step must still release its commit slot, or every
-        later volume would wait forever on the turnstile."""
+        later volume's parked commit would wait forever in the buffer."""
         with self._commit_cv:
             if batch_idx >= self._commit_turn:
                 self._aborted.add(batch_idx)
-                while self._commit_turn in self._aborted:
-                    self._aborted.discard(self._commit_turn)
-                    self._commit_turn += 1
-                self._commit_cv.notify_all()
+                self._ready.pop(batch_idx, None)
+                self._drain_locked()
 
     def test_step(
         self,
@@ -285,7 +298,7 @@ class EvalSession:
     ) -> None:
         """Score one volume. `batch_idx` is KEYWORD-ONLY: it is the commit
         turnstile's ordering token under concurrent scorer threads
-        (_ordered_commit), so the contract must be explicit at call sites."""
+        (_commit_in_order), so the contract must be explicit at call sites."""
         try:
             return self._test_step_impl(
                 final_volume, data_orig, data_seg, data_mask,
@@ -470,12 +483,14 @@ class EvalSession:
 
         # --- ordered atomic commit: one volume's rows land together, in
         # dataset order ----------------------------------------------------- #
-        with self._ordered_commit(batch_idx):
+        def _apply():
             for k, mode, v in rec:
                 getattr(self.eval_dict[k], mode)(v)
             if "val" in self.stage:  # pooling for the global threshold fit
                 self._diffs_list.append(diff.ravel())
                 self._seg_list.append(seg_np.ravel().astype(np.int8))
+
+        self._commit_in_order(batch_idx, _apply)
 
     # ------------------------------------------------------------------ #
     def _log_images(self, diff, orig, seg_np, mask_np, reco, ID) -> None:
@@ -795,7 +810,7 @@ class EvalSession:
 
         self._record_volume_scores(rec, aux, vol_score, label_vol)
 
-        with self._ordered_commit(batch_idx):
+        def _apply():
             for k, mode, v in rec:
                 getattr(self.eval_dict[k], mode)(v)
             if "val" in self.stage:
@@ -819,6 +834,8 @@ class EvalSession:
                     self._diffs_list.append(diff_dev.ravel())
                     self._seg_list.append((seg > 0).ravel())
                     self._pool_bytes += nbytes
+
+        self._commit_in_order(batch_idx, _apply)
 
     # ------------------------------------------------------------------ #
     def test_end(self) -> dict:

@@ -116,8 +116,12 @@ class VolumeReconstructor:
         size x depth bucket fully determines the compiled shape.
 
         Returns a list of (reco_hwd, {'loss','latent'}) in input order —
-        the same contract as ``__call__(..., return_aux=True)``. The noise
-        key is shared by the whole group (one draw per slice either way).
+        the same contract as ``__call__(..., return_aux=True)``. ``key`` is
+        the [G, 2] per-volume key stack (orchestrate builds fold_in(key, i)
+        per member): each volume draws its own noise fields inside the
+        grouped program, bitwise what it would draw dispatched alone, so
+        grouping never moves the eval metrics (a single [2] key is also
+        accepted and shared — legacy behavior, not layout-invariant).
         """
         preps = [self._prep(v) for v in vols]
         pad = max(
@@ -205,7 +209,8 @@ class VolumeReconstructor:
     def batch_call_scored(self, variables, subs, key, flags):
         """Reconstruct AND score a group of same-shape subjects in ONE device
         dispatch. `subs` are eval subject dicts (vol / vol_orig / mask_orig /
-        seg_orig); `flags` is EvalSession._fused_flags(...). Returns a list of
+        seg_orig); `key` is the [G, 2] per-volume key stack (see batch_call);
+        `flags` is EvalSession._fused_flags(...). Returns a list of
         (diff_dev [H,W,D], packed_dev [B]) per subject in input order."""
         preps = [self._prep(s["vol"]) for s in subs]
         pad = max(

@@ -39,6 +39,7 @@ from ..diffusion import (
     normalize_to_neg_one_to_one,
     p_sample_loop,
 )
+from ..diffusion.gaussian import noise_for, split_keys
 from ..ops.patch_sampling import grid_boxes, grid_boxes_cut, paste_patches, sample_single_box
 from ..ops.simplex import make_noise_fn
 from .resnet import ResNetConfig, ResNetEncoder
@@ -106,14 +107,22 @@ class DDPMTaskConfig:
     # einsum path inside AttentionBlock (PARITY.md "Pallas middle-block
     # attention, measured verdict").
     fused_attention: bool = True
-    # GroupNorm apply precision: 'compute' folds γ/μ/σ into per-channel
-    # a·x+b and applies ONE compute-dtype FMA per element (stats stay f32).
-    # Default ON: the GN sites are measured VPU-bound and this is +8.3%
-    # whole-model eval throughput (831.7 → 900.6 slice-denoises/s) at
-    # 0.09% max relative deviation of the reconstruction (PARITY.md
-    # "Round-3: folded GroupNorm"). 'float32' restores the reference's
-    # exact GroupNorm32 semantics (f32 normalize+affine).
+    # Norm apply precision for the UNet's GroupNorm AND (since r4) the
+    # conditioning encoder's MaskedBatchNorm: 'compute' folds γ/μ/σ(/β) into
+    # per-channel a·x+b and applies ONE compute-dtype FMA per element (stats
+    # stay f32). Default ON: the GN sites are measured VPU-bound and this is
+    # +8.3% whole-model eval throughput (831.7 → 900.6 slice-denoises/s) at
+    # 0.09% max relative reconstruction deviation for the UNet fold alone
+    # (PARITY.md "Round-3: folded GroupNorm"); with the encoder fold also
+    # active the measured end-to-end deviation bound is in PARITY.md
+    # "norm_precision end-to-end deviation (r5)". 'float32' restores the
+    # reference's exact GroupNorm32 + f32-BatchNorm semantics
+    # (f32 normalize+affine) in both modules.
     norm_precision: str = "compute"
+    # compose the FiLM scale-shift into the folded-GN coefficients (one FMA
+    # per element; active only under norm_precision='compute'). Kept as a
+    # knob for A/B benching — see UNetConfig.film_fold.
+    film_fold: bool = True
     dtype: str = "bfloat16"
     # optimizer (reference Adam(lr), DDPM_2D.py:305-306)
     lr: float = 1e-4
@@ -144,6 +153,7 @@ class DDPMTaskConfig:
             use_checkpoint=self.use_checkpoint,
             fused_attention=self.fused_attention,
             norm_precision=self.norm_precision,
+            film_fold=self.film_fold,
             dropout=self.dropout_unet,
             dtype=self.dtype,
         )
@@ -315,9 +325,17 @@ class DDPMTask:
           (latentSpace, :214-223; zeros column when unconditional, :222-223).
 
         The ensemble axis is FLATTENED into the batch axis — all |ensemble|
-        denoise passes run as ONE UNet call at batch E*D (see below)."""
+        denoise passes run as ONE UNet call at batch E*D (see below).
+
+        ``key`` may be one key [2] (the stack is one volume) or per-volume
+        keys [G, 2] when the stack packs G same-depth volumes (grouped eval
+        dispatch, eval/reconstruct.py::batch_call): every noise field is then
+        drawn from its volume's OWN key over its own D//G slice block, so a
+        volume reconstructs bitwise the same whichever dispatch group it
+        rides in (layout-invariant eval metrics, VERDICT r4 #1)."""
         cfg = self.cfg
         d = slices01.shape[0]
+        vol_keys = None if key.ndim == 1 else key  # [G, 2] grouped stacks
         cond, _ = self.encode(variables, slices01, train=False)
         model_fn = self._model_fn(variables)
         latent = (
@@ -358,10 +376,22 @@ class DDPMTask:
             # reference DDPM_2D.py:225-239) and are generated outside the hot
             # call (the Pallas kernel takes its seed through SMEM).
             e = len(cfg.step_ensemble)
-            keys = jax.random.split(key, e)
-            noises = jnp.concatenate(
-                [self.noise_fn(k, slices01.shape) for k in keys]
-            )  # [E*D, H, W, 1]
+            if vol_keys is None:
+                keys = jax.random.split(key, e)
+                noises = jnp.concatenate(
+                    [self.noise_fn(k, slices01.shape) for k in keys]
+                )  # [E*D, H, W, 1]
+            else:
+                # member-major over the grouped stack: member m's [D] block is
+                # the concatenation over volumes of that volume's m-th field —
+                # bitwise the single-volume draw `split(key_v, E)[m]`
+                g = vol_keys.shape[0]
+                member_keys = split_keys(vol_keys, e)  # [E, G, 2]
+                sub = (d // g,) + tuple(slices01.shape[1:])
+                noises = jnp.concatenate([
+                    self.noise_fn(member_keys[m, v], sub)
+                    for m in range(e) for v in range(g)
+                ])  # [E*D, H, W, 1]
             t_vec = jnp.repeat(
                 jnp.asarray([t - 1 for t in cfg.step_ensemble], jnp.int32), d
             )
@@ -369,7 +399,8 @@ class DDPMTask:
             conds = None if cond is None else jnp.tile(cond, (e, 1))
             loss_ps, reco = diffusion_call(
                 self.sched, self.gd_cfg, model_fn, imgs,
-                key=key, t=t_vec, cond=conds, noise=noises, reduce=False,
+                key=key if vol_keys is None else vol_keys[0],
+                t=t_vec, cond=conds, noise=noises, reduce=False,
             )
             aux = {
                 "loss_per_slice": loss_ps.reshape(e, d)[-1],
@@ -377,10 +408,11 @@ class DDPMTask:
             }
             return reco.reshape(e, d, *reco.shape[1:]).mean(axis=0), aux
 
-        noise = self.noise_fn(key, slices01.shape)
+        noise = noise_for(self.noise_fn, key, slices01.shape)
         loss_ps, reco = diffusion_call(
             self.sched, self.gd_cfg, model_fn, slices01,
-            key=key, t=cfg.test_timesteps - 1, cond=cond, noise=noise,
+            key=key if vol_keys is None else vol_keys[0],
+            t=cfg.test_timesteps - 1, cond=cond, noise=noise,
             reduce=False,
         )
         return reco, {"loss_per_slice": loss_ps, "latent_per_slice": latent}
@@ -422,7 +454,11 @@ class DDPMTask:
         aux mirrors the reference's patched scalars: 'loss_per_slice' is the
         LAST grid box's diffusion loss (the box loop overwrites loss_diff,
         ref :188,219-221) and 'latent_per_slice' is the zeros dummy
-        (ref :171)."""
+        (ref :171).
+
+        ``key`` follows the same [2] / per-volume [G, 2] contract as
+        `reconstruct_with_aux`: grouped stacks draw every box's noise from
+        the owning volume's key (bitwise the single-volume draws)."""
         cfg = self.cfg
         if cfg.grid_boxes_eval == "cut":
             boxes_np = grid_boxes_cut(cfg.image_hw, cfg.patch_hw)
@@ -445,9 +481,10 @@ class DDPMTask:
         chunk = next((c for c in range(min(n, max_chunk), 0, -1) if n % c == 0), 1)
 
         def one_chunk(kb):
-            ks, bxs = kb  # [chunk, 2], [chunk, 4]
+            ks, bxs = kb  # [chunk, 2] or [chunk, G, 2], [chunk, 4]
             noise = jnp.concatenate(
-                [self.noise_fn(ks[i], slices01.shape) for i in range(chunk)]
+                [noise_for(self.noise_fn, ks[i], slices01.shape)
+                 for i in range(chunk)]
             )  # [chunk*D, H, W, 1]
             masks = jax.vmap(lambda bx: box_to_mask(bx[None], h, w)[0])(bxs)
             box_mask = jnp.repeat(masks, d, axis=0)  # [chunk*D, H, W, 1]
@@ -455,12 +492,16 @@ class DDPMTask:
             conds = None if cond is None else jnp.tile(cond, (chunk, 1))
             loss_ps, reco = diffusion_call(
                 self.sched, self.gd_cfg, model_fn, imgs,
-                key=ks[0], t=cfg.test_timesteps - 1, cond=conds, noise=noise,
+                key=ks[0] if ks.ndim == 2 else ks[0, 0],
+                t=cfg.test_timesteps - 1, cond=conds, noise=noise,
                 box_mask=box_mask, reduce=False,
             )
             return reco.reshape(chunk, d, *reco.shape[1:]), loss_ps.reshape(chunk, d)[-1]
 
-        keys = jax.random.split(key, n).reshape(n // chunk, chunk, -1)
+        # [n, 2] (one volume) or [n, G, 2] (per-volume box keys: row b, col v
+        # is bitwise `split(key_v, n)[b]`, the draw volume v sees alone)
+        box_keys = split_keys(key, n)
+        keys = box_keys.reshape(n // chunk, chunk, *box_keys.shape[1:])
         bxs = boxes.reshape(n // chunk, chunk, -1)
         recos, loss_last = jax.lax.map(one_chunk, (keys, bxs))
         recos = recos.reshape(n, d, h, w, 1)
@@ -642,12 +683,23 @@ class SparkTask:
         per-volume eval loss (Spark_2D.forward, :26-33): the masked spatial
         loss when loss_on_mask, else L1_AE recon_error + delta_mask · masked.
         'latent_per_slice' is an empty column — the reference's Spark
-        test_step never records latentSpace (:60-116)."""
+        test_step never records latentSpace (:60-116).
+
+        ``key`` follows the [2] / per-volume [G, 2] contract of
+        DDPMTask.reconstruct_with_aux: a grouped stack draws each volume's
+        eval mask from its own key (bitwise the single-volume draw)."""
         cfg = self.cfg
         scfg = cfg.spark_config
         x01 = slices01.astype(jnp.float32)
         d = x01.shape[0]
-        active = random_mask(key, d, scfg.fmap_size, scfg.len_keep)
+        if key.ndim == 1:
+            active = random_mask(key, d, scfg.fmap_size, scfg.len_keep)
+        else:
+            g = key.shape[0]
+            active = jnp.concatenate([
+                random_mask(key[v], d // g, scfg.fmap_size, scfg.len_keep)
+                for v in range(g)
+            ])
         reco = self.model.apply(variables, x01, active, train=False)
         masked_ps = spark_spatial_loss(scfg, x01, reco, active, per_sample=True)
         if cfg.loss_on_mask:

@@ -108,6 +108,16 @@ def evaluate(
         patched=is_patched,
     )
     key = jax.random.PRNGKey(cfg.seed + 1000 + fold)
+    # per-volume noise keys for grouped dispatches: ONE tiny device program
+    # builds the [G, 2] stack fold_in(key, i) per member — each volume then
+    # draws the SAME noise it would draw dispatched alone, so eval metrics
+    # are invariant to volumes_per_call / fused_dispatch / mesh layout
+    # (vmapped fold_in is bitwise fold_in; reference counterpart: fresh
+    # noise per call, generate_noise.py:19-25 — the freedom that permits
+    # pinning the keying to the volume index)
+    fold_keys = jax.jit(
+        lambda k, idx: jax.vmap(lambda i: jax.random.fold_in(k, i))(idx)
+    )
     preds = {"val": {}, "test": {}}
     allowed = SETS_BY_MODE.get(cfg.data.mode, list(EVAL_MODULES))
 
@@ -265,6 +275,13 @@ def evaluate(
                             session._abort_turn(int(i))
                         raise
 
+                def _group_keys(group):
+                    """[G, 2] per-volume keys, tail-padded with the last
+                    member's key (its duplicate reconstruction is discarded)."""
+                    idxs = [i for i, _ in group]
+                    idxs += [idxs[-1]] * (group_n - len(idxs))
+                    return fold_keys(key, np.asarray(idxs, np.int32))
+
                 def _dispatch_fused(group):
                     subs = [s for _, s in group]
                     t0 = _t.perf_counter()
@@ -276,8 +293,7 @@ def evaluate(
                     )
                     padded = subs + [subs[-1]] * (group_n - len(subs))
                     diff_g, packed_g = recon.batch_call_scored(
-                        variables, padded,
-                        jax.random.fold_in(key, group[0][0]), flags,
+                        variables, padded, _group_keys(group), flags,
                     )
                     llen = recon.latent_len(variables, subs[0]["vol"], key)
                     t1 = _t.perf_counter()
@@ -318,15 +334,16 @@ def evaluate(
                     return True
 
                 def _dispatch(group):
-                    # one device program per group. group_n=1 keeps the
-                    # per-volume fold_in(key, i) noise draws exactly; larger
-                    # groups run the UNet at group x depth x ensemble batch
-                    # (batch-576 layout at group 2) under one key. A short
-                    # TAIL group (dataset size not a multiple of group_n) is
-                    # padded by repeating its last volume so it reuses the
-                    # full-group compiled program — a second single-volume
-                    # executable would cost a whole extra XLA compile (~60 s
-                    # on the tunnel) to save one duplicated reconstruction
+                    # one device program per group. Every volume draws its
+                    # noise from fold_in(key, i) — at group_n=1 directly, in
+                    # larger groups via the [G, 2] per-volume key stack — so
+                    # grouping (the batch-576 UNet layout at group 2) never
+                    # moves the metrics. A short TAIL group (dataset size not
+                    # a multiple of group_n) is padded by repeating its last
+                    # volume so it reuses the full-group compiled program — a
+                    # second single-volume executable would cost a whole
+                    # extra XLA compile (~60 s on the tunnel) to save one
+                    # duplicated reconstruction
                     if _group_fusable(group):
                         return _dispatch_fused(group)
                     t0 = _t.perf_counter()
@@ -339,8 +356,7 @@ def evaluate(
                         vols = [s["vol"] for _, s in group]
                         vols += [vols[-1]] * (group_n - len(group))
                         res = recon.batch_call(
-                            variables, vols,
-                            jax.random.fold_in(key, group[0][0]),
+                            variables, vols, _group_keys(group),
                         )[: len(group)]
                     t1 = _t.perf_counter()
                     ph["recon"] += t1 - t0
@@ -348,18 +364,35 @@ def evaluate(
                         _submit(i, sub, reco, raux, t1)
                         t1 = _t.perf_counter()
 
-                group: list = []
+                # SHAPE-BUCKETED grouping: volumes group by identical
+                # (orig, model) shapes, not raw dataset order, so a
+                # heterogeneous-resolution dataset (full-res evaluation,
+                # resized_evaluation=false; ref utils_eval.py:24-27) keeps
+                # the one-dispatch fused path for every full bucket instead
+                # of abandoning it at the first shape change. Out-of-order
+                # dispatch is safe: eval_dict rows land in dataset order via
+                # the commit reorder buffer (harness._commit_in_order). On a
+                # uniform-shape dataset exactly one bucket exists and the
+                # dispatch order is today's dataset order. At most
+                # (#distinct shapes × group_n) volumes buffer in RAM.
+                buckets: dict = {}
                 t_mark = _t.perf_counter()
                 for i, sub in enumerate(loader):
                     t0 = _t.perf_counter()
                     ph["load"] += t0 - t_mark
-                    group.append((i, sub))
-                    if len(group) >= group_n:
-                        _dispatch(group)
-                        group = []
+                    sig = (
+                        tuple(sub["vol_orig"].shape),
+                        tuple(sub["vol"].shape),
+                    )
+                    bucket = buckets.setdefault(sig, [])
+                    bucket.append((i, sub))
+                    if len(bucket) >= group_n:
+                        _dispatch(bucket)
+                        buckets[sig] = []
                     t_mark = _t.perf_counter()
-                if group:
-                    _dispatch(group)
+                for bucket in buckets.values():
+                    if bucket:  # leftover partial buckets, tail-padded
+                        _dispatch(bucket)
                 t0 = _t.perf_counter()
                 for f in pending:
                     f.result()
