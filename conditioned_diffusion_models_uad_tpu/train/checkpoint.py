@@ -8,8 +8,14 @@ encoder surgery DDPM_2D.py:79-96 is `models.tasks.import_spark_encoder`).
 
 Layout on disk:
 
-    <ckpt_dir>/fold-<k>/best/      orbax pytree (the lowest-val-loss state)
-    <ckpt_dir>/fold-<k>/last/      orbax pytree (the most recent state)
+    <ckpt_dir>/fold-<k>/best/      orbax pytree (the lowest-val-loss VARIABLES:
+                                   params + batch_stats + step — no optimizer
+                                   state; 'best' exists to be evaluated or
+                                   fine-tuned, and the Adam moments are ~2/3
+                                   of the full payload on a 15 MB/s tunneled
+                                   D2H link)
+    <ckpt_dir>/fold-<k>/last/      orbax pytree (the most recent FULL state —
+                                   resume needs the optimizer moments)
     <ckpt_dir>/fold-<k>/meta.json  {'best': {'step':…, 'val_loss':…}, 'last': …}
 """
 from __future__ import annotations
@@ -19,6 +25,17 @@ import os
 from typing import Any, Optional, Tuple
 
 import orbax.checkpoint as ocp
+
+# 'best' checkpoint payload: everything an eval/reload or encoder-surgery
+# consumer reads (orchestrate._restore_variables, import_spark_encoder)
+BEST_KEYS = ("params", "batch_stats", "step")
+
+
+def variables_only(state: Any) -> Any:
+    """The 'best'-checkpoint subset of a train state (see module docstring)."""
+    if isinstance(state, dict):
+        return {k: state[k] for k in BEST_KEYS if k in state}
+    return state
 
 
 class FoldCheckpointer:
@@ -46,19 +63,25 @@ class FoldCheckpointer:
         self._save("last", state, step, val_loss)
 
     def maybe_save_best(self, state: Any, step: int, val_loss: float) -> bool:
-        """Keep only the best-by-val-loss state (save_top_k=1 semantics).
+        """Keep only the best-by-val-loss VARIABLES (save_top_k=1 semantics;
+        optimizer state is stripped — resume restores 'last', VERDICT r4 #2).
         A non-finite val loss never becomes 'best' — a NaN written once would
         poison every later comparison (x < nan is always False) and pin the
         diverged state as the restored checkpoint for the whole run."""
+        if not self.is_best(val_loss):
+            return False
+        self._save("best", variables_only(state), step, float(val_loss))
+        return True
+
+    def is_best(self, val_loss: Optional[float]) -> bool:
+        """Would this val loss become the new 'best'? (The save decision,
+        separated so an async writer can defer only the slow save.)"""
         import math
 
         if val_loss is None or not math.isfinite(val_loss):
             return False
         prev = self.meta.get("best", {}).get("val_loss", None)
-        if prev is None or not math.isfinite(prev) or val_loss < prev:
-            self._save("best", state, step, float(val_loss))
-            return True
-        return False
+        return prev is None or not math.isfinite(prev) or val_loss < prev
 
     def restore(self, which: str = "best", target: Any = None) -> Tuple[Any, dict]:
         """Restore 'best' (falling back to 'last', as the reference's
@@ -71,6 +94,10 @@ class FoldCheckpointer:
         if not os.path.exists(path):
             raise FileNotFoundError(f"no '{which}' checkpoint under {self.dir}")
         if target is not None:
+            if name == "best":
+                # 'best' stores variables only — restore just that subset of
+                # a full-train-state target (opt_state lives in 'last')
+                target = variables_only(target)
             state = self._ckptr.restore(path, target)
         else:
             state = self._ckptr.restore(path)

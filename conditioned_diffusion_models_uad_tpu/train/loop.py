@@ -59,6 +59,35 @@ class TrainerConfig:
     save_last: bool = True  # callbacks.checkpoint.save_last (ref checkpoint.yaml)
 
 
+class _AsyncCheckpointWriter:
+    """ONE background checkpoint cycle in flight: the (slow, tunneled) D2H
+    state fetch + orbax write overlap the next epochs' device compute
+    instead of stalling the fit loop (~50 s/cycle measured synchronous on a
+    degraded link, VERDICT r4 #2). The writer consumes an ON-DEVICE
+    snapshot (jitted tree-copy — fresh buffers, so the train loop donating
+    the live state cannot invalidate what the writer is fetching).
+    Exceptions surface on the next submit() or join()."""
+
+    def __init__(self):
+        self._fut = None
+        self._pool = None
+
+    def submit(self, fn) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-writer"
+            )
+        self.join()  # serialize cycles (meta.json + orbax paths are shared)
+        self._fut = self._pool.submit(fn)
+
+    def join(self) -> None:
+        if self._fut is not None:
+            fut, self._fut = self._fut, None
+            fut.result()
+
+
 def make_optimizer(task) -> optax.GradientTransformation:
     """Task-appropriate optimizer (see module docstring)."""
     cfg = task.cfg
@@ -278,6 +307,13 @@ class Trainer:
         data = self._device_data(train_source)
         steps, t0 = 0, time.time()
         last_loss = float("nan")
+        # checkpoint cycle: on-device snapshot (fresh buffers) + background
+        # D2H/write — see _AsyncCheckpointWriter
+        writer = _AsyncCheckpointWriter()
+        if not hasattr(self, "_snapshot"):
+            self._snapshot = jax.jit(
+                lambda s: jax.tree_util.tree_map(jnp.copy, s)
+            )
 
         overfit_arrays = None
         if cfg.overfit_batches and not cfg.fast_dev_run:
@@ -358,11 +394,29 @@ class Trainer:
                     self.logger.log_metrics(
                         {"val/loss_comb": val_loss, "epoch": epoch}, step=steps
                     )
-                host_state = jax.device_get(state)
-                ckpt.maybe_save_best(host_state, epoch + 1, val_loss)
-                if cfg.save_last:
-                    ckpt.save_last(host_state, epoch + 1, val_loss)
+                # the save cycle runs on the background writer against an
+                # on-device snapshot; when 'last' is off, only the 'best'
+                # subset (params+batch_stats, ~1/3 of the payload — the Adam
+                # moments stay on device) ever crosses the D2H link
+                is_best = ckpt.is_best(val_loss)
+                if is_best or cfg.save_last:
+                    from .checkpoint import variables_only
 
+                    snap = self._snapshot(
+                        state if cfg.save_last else variables_only(state)
+                    )
+
+                    def _write(snap=snap, epoch=epoch, val_loss=val_loss,
+                               is_best=is_best):
+                        host_state = jax.device_get(snap)
+                        if is_best:
+                            ckpt.maybe_save_best(host_state, epoch + 1, val_loss)
+                        if cfg.save_last:
+                            ckpt.save_last(host_state, epoch + 1, val_loss)
+
+                    writer.submit(_write)
+
+        writer.join()
         if not cfg.fast_dev_run and val_source is None and cfg.save_last:
             ckpt.save_last(jax.device_get(state), max_epochs)
 
