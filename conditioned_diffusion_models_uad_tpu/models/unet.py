@@ -81,7 +81,13 @@ class GroupNorm32(nn.Module):
     num_groups: int = 32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, film_scale=None, film_shift=None):
+        """film_scale/film_shift [B, 1, 1, C] (folded path only): the
+        ResBlock's FiLM scale-shift `h·(1+s)+t` composed INTO the folded
+        a·x+b coefficients (a′=a·(1+s), b′=b·(1+s)+t, both on [B, C]-sized
+        tensors in f32) so normalize+affine+FiLM is still ONE compute-dtype
+        FMA per element — the second half of the fold the r4 verdict flagged
+        (VERDICT r4 #4; reference two-pass site OpenAI_Unet.py:325-331)."""
         if not self.f32_apply:
             c = x.shape[-1]
             g = self.num_groups
@@ -99,9 +105,16 @@ class GroupNorm32(nn.Module):
             a = gamma * inv[..., None]  # [b, g, c//g]
             b_ = bias.reshape(g, c // g)[None] - mean[..., None] * a
             shape = (b,) + (1,) * (x.ndim - 2) + (c,)
-            a = a.reshape(shape).astype(x.dtype)
-            b_ = b_.reshape(shape).astype(x.dtype)
+            a = a.reshape(shape)
+            b_ = b_.reshape(shape)
+            if film_scale is not None:
+                s1 = 1.0 + film_scale.astype(jnp.float32)
+                a = a * s1
+                b_ = b_ * s1 + film_shift.astype(jnp.float32)
+            a = a.astype(x.dtype)
+            b_ = b_.astype(x.dtype)
             return x * a + b_
+        assert film_scale is None, "FiLM fold requires f32_apply=False"
         orig = x.dtype
         h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, param_dtype=jnp.float32)(
             x.astype(jnp.float32)
@@ -161,6 +174,7 @@ class ResBlock(nn.Module):
     down: bool = False
     dtype: jnp.dtype = jnp.float32
     norm_f32: bool = True  # f32 normalize+affine (GroupNorm32 semantics)
+    film_fold: bool = True  # compose FiLM into the folded-GN coefficients
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
@@ -190,8 +204,15 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(dtype=self.dtype, f32_apply=self.norm_f32)(h)
-            h = h * (1 + scale) + shift
+            if not self.norm_f32 and self.film_fold:
+                # FiLM composed into the folded-GN coefficients: one FMA per
+                # element instead of two (see GroupNorm32.__call__)
+                h = GroupNorm32(dtype=self.dtype, f32_apply=False)(
+                    h, film_scale=scale, film_shift=shift
+                )
+            else:
+                h = GroupNorm32(dtype=self.dtype, f32_apply=self.norm_f32)(h)
+                h = h * (1 + scale) + shift
             h = nn.silu(h)
         else:
             h = h + emb_out
@@ -372,9 +393,13 @@ class UNetConfig:
     # 'float32': reference GroupNorm32 semantics — f32 normalize+affine
     # under any compute dtype. 'compute': keep the f32 statistics but apply
     # the normalize+affine in the compute dtype (the GN sites are measured
-    # VPU-bound; bf16 apply halves their per-element cost). Identical math
-    # when the compute dtype is float32.
+    # VPU-bound; bf16 apply halves their per-element cost).
     norm_precision: str = "float32"
+    # compose the ResBlock FiLM scale-shift into the folded-GN a·x+b
+    # coefficients (norm_precision='compute' only): normalize+affine+FiLM
+    # become ONE FMA per element instead of two (VERDICT r4 #4). Off = the
+    # two-pass apply, kept for A/B benching (tools/bench_norm_precision.py).
+    film_fold: bool = True
     dtype: str = "float32"  # 'float32' | 'bfloat16' compute dtype
 
     @property
@@ -476,6 +501,7 @@ class UNetModel(nn.Module):
                     dropout=cfg.dropout,
                     use_scale_shift_norm=cfg.use_scale_shift_norm,
                     norm_f32=cfg.norm_f32,
+                    film_fold=cfg.film_fold,
                     dtype=dt,
                     name=_res_name(),
                 )(h, emb, deterministic)
@@ -490,6 +516,7 @@ class UNetModel(nn.Module):
                         dropout=cfg.dropout,
                         use_scale_shift_norm=cfg.use_scale_shift_norm,
                         norm_f32=cfg.norm_f32,
+                        film_fold=cfg.film_fold,
                         down=True,
                         dtype=dt,
                         name=_res_name(),
@@ -506,6 +533,7 @@ class UNetModel(nn.Module):
             dropout=cfg.dropout,
             use_scale_shift_norm=cfg.use_scale_shift_norm,
             norm_f32=cfg.norm_f32,
+            film_fold=cfg.film_fold,
             dtype=dt,
             name=_res_name(),
         )(h, emb, deterministic)
@@ -516,6 +544,7 @@ class UNetModel(nn.Module):
             dropout=cfg.dropout,
             use_scale_shift_norm=cfg.use_scale_shift_norm,
             norm_f32=cfg.norm_f32,
+            film_fold=cfg.film_fold,
             dtype=dt,
             name=_res_name(),
         )(h, emb, deterministic)
@@ -531,6 +560,7 @@ class UNetModel(nn.Module):
                     dropout=cfg.dropout,
                     use_scale_shift_norm=cfg.use_scale_shift_norm,
                     norm_f32=cfg.norm_f32,
+                    film_fold=cfg.film_fold,
                     dtype=dt,
                     name=_res_name(),
                 )(h, emb, deterministic)
@@ -544,6 +574,7 @@ class UNetModel(nn.Module):
                             dropout=cfg.dropout,
                             use_scale_shift_norm=cfg.use_scale_shift_norm,
                             norm_f32=cfg.norm_f32,
+                            film_fold=cfg.film_fold,
                             up=True,
                             dtype=dt,
                             name=_res_name(),

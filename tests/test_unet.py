@@ -183,3 +183,34 @@ def test_norm_precision_compute_matches_f32():
         scale = float(jnp.max(jnp.abs(o1))) + 1e-12
         rel = float(jnp.max(jnp.abs(o1 - o2))) / scale
         assert rel < tol, f"{dtype}: rel diff {rel} vs tol {tol}"
+
+
+def test_film_fold_matches_two_pass():
+    """UNetConfig.film_fold composes the FiLM scale-shift into the folded-GN
+    a·x+b coefficients (norm_precision='compute'): same param tree, output
+    within rounding of the two-pass apply (exact algebra on [B,C] coeffs in
+    f32; only the final per-element FMA rounding differs)."""
+    import dataclasses
+
+    import jax.tree_util as jtu
+
+    cfg = dataclasses.replace(SMALL, norm_precision="compute")
+    cfg_off = dataclasses.replace(cfg, film_fold=False)
+    m1, params, x, t, cond = _init(cfg_off)
+    m2 = UNetModel(cfg)
+    params2 = m2.init(jax.random.PRNGKey(0), x, t, cond)
+    assert jtu.tree_structure(params) == jtu.tree_structure(params2)
+
+    leaves, treedef = jtu.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(11), len(leaves))
+    params = jtu.tree_unflatten(
+        treedef,
+        [0.05 * jax.random.normal(k, l.shape, l.dtype)
+         for k, l in zip(keys, leaves)],
+    )
+    xr = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    o1 = m1.apply(params, xr, t, cond)
+    o2 = m2.apply(params, xr, t, cond)
+    scale = float(jnp.max(jnp.abs(o1))) + 1e-12
+    rel = float(jnp.max(jnp.abs(o1 - o2))) / scale
+    assert rel < 2e-3, f"film_fold deviates: rel {rel}"
