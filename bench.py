@@ -47,7 +47,11 @@ def probe_link() -> dict:
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        jax.device_put(a).block_until_ready()
+        x_up = jax.device_put(a)
+    # block_until_ready can return before a queued transfer lands on this
+    # transport (the repo-wide timing rule): close the timed window with a
+    # VALUE FETCH derived from the last upload so the puts are provably done
+    float(np.asarray(x_up[0, 0, :1])[0])
     h2d = a.nbytes * reps / (time.perf_counter() - t0) / 1e6
 
     d = jax.device_put(np.ones((1024, 1024), np.float32))  # 4 MB

@@ -119,9 +119,10 @@ def test_masked_bn_fold_apply_parity():
 
 
 def test_spark_norm_precision_compute_matches_f32():
-    """SparKConfig.norm_precision='compute' (the SparkTask default) must be a
-    drop-in: identical param/stat tree, reconstruction within bf16 noise of
-    the f32-normalize path."""
+    """SparKConfig.norm_precision='compute' (the NON-default folded variant;
+    SparkTaskConfig defaults to 'float32', which measured faster at the
+    protocol batch 32) must be a drop-in: identical param/stat tree,
+    reconstruction within bf16 noise of the f32-normalize path."""
     base = SparKConfig(backbone="resnet18", input_size=64, dec_dim=64)
     fold = SparKConfig(backbone="resnet18", input_size=64, dec_dim=64,
                        norm_precision="compute")

@@ -54,8 +54,10 @@ def bench_step(batch: int, iters: int, norm_precision: str = "compute") -> dict:
         Trainer, TrainerConfig, init_state,
     )
 
-    # flagship: 96x96 resnet50, ratio .65; norm_precision compares the folded
-    # MaskedBatchNorm apply (task default) against the f32 normalize chain
+    # flagship: 96x96 resnet50, ratio .65; norm_precision='compute' is the
+    # NON-default folded MaskedBatchNorm apply, compared against the task
+    # default 'float32' f32-normalize chain (SparkTaskConfig defaults to
+    # 'float32': measured faster at the protocol batch 32, models/tasks.py)
     task = SparkTask(SparkTaskConfig(norm_precision=norm_precision))
     trainer = Trainer(task, TrainerConfig(max_epochs=1, epoch_scan=False))
     state = init_state(task, jax.random.PRNGKey(0), trainer.tx)

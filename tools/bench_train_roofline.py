@@ -50,6 +50,13 @@ def bench_step(batch: int, iters: int, *, remat: bool, fused_attn: bool) -> dict
     )
     task = DDPMTask(cfg)
     trainer = Trainer(task, TrainerConfig(max_epochs=1, epoch_scan=False))
+    # fwd_only below hand-mirrors train_step's gather/augment/loss body on
+    # the aug_intensity path; fail loudly if the benched config ever diverges
+    # from that assumption instead of silently mismeasuring the fwd/bwd split
+    assert trainer.cfg.aug_full is False and trainer.cfg.aug_intensity is True, (
+        "fwd_only mirrors the aug_intensity train_step body; update it if "
+        "the benched TrainerConfig changes augmentation defaults"
+    )
     state = init_state(task, jax.random.PRNGKey(0), trainer.tx)
 
     rng = np.random.default_rng(0)

@@ -33,7 +33,10 @@ def main() -> None:
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
-        jax.device_put(a).block_until_ready()
+        x_up = jax.device_put(a)
+    # close the timed window with a VALUE FETCH off the last upload —
+    # block_until_ready can return before a queued transfer lands here
+    float(np.asarray(x_up[0, 0, :1])[0])
     h2d = a.nbytes * reps / (time.perf_counter() - t0) / 1e6
 
     d = jax.device_put(np.ones((1024, 1024), np.float32))  # 4 MB
