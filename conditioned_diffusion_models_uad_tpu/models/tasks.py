@@ -120,9 +120,9 @@ class DDPMTaskConfig:
     # (f32 normalize+affine) in both modules.
     norm_precision: str = "compute"
     # compose the FiLM scale-shift into the folded-GN coefficients (one FMA
-    # per element; active only under norm_precision='compute'). Kept as a
-    # knob for A/B benching — see UNetConfig.film_fold.
-    film_fold: bool = True
+    # per element; active only under norm_precision='compute'). Measured
+    # rejection, default OFF — see UNetConfig.film_fold for the numbers.
+    film_fold: bool = False
     dtype: str = "bfloat16"
     # optimizer (reference Adam(lr), DDPM_2D.py:305-306)
     lr: float = 1e-4

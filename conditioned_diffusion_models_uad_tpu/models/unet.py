@@ -397,9 +397,14 @@ class UNetConfig:
     norm_precision: str = "float32"
     # compose the ResBlock FiLM scale-shift into the folded-GN a·x+b
     # coefficients (norm_precision='compute' only): normalize+affine+FiLM
-    # become ONE FMA per element instead of two (VERDICT r4 #4). Off = the
-    # two-pass apply, kept for A/B benching (tools/bench_norm_precision.py).
-    film_fold: bool = True
+    # become ONE FMA per element instead of two (VERDICT r4 #4). MEASURED
+    # REJECTION, default OFF: flagship chip A/B (tools/bench_norm_precision.py
+    # --film-fold) = eval 901.9 vs 899.1 slice-denoises/s (+0.3%, inside
+    # tunnel noise — XLA already fuses the two FMAs into one elementwise
+    # loop) but train 0.187 vs 0.111 s/step (-40%): the composition makes
+    # grad(scale) flow through BOTH a' and b', adding an extra whole-tensor
+    # reduction per scale-shift site in the backward pass.
+    film_fold: bool = False
     dtype: str = "float32"  # 'float32' | 'bfloat16' compute dtype
 
     @property

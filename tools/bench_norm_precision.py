@@ -110,17 +110,106 @@ def bench_reconstruct(depth, n):
                       **outs}), flush=True)
 
 
+def bench_film_fold(depth, n):
+    """FiLM-into-fold A/B (VERDICT r4 #4): flagship eval reconstruct and
+    train step under norm_precision='compute' with UNetConfig.film_fold
+    on vs off, plus the output deviation between the two variants."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    import numpy as np
+
+    from conditioned_diffusion_models_uad_tpu.models import DDPMTask, DDPMTaskConfig
+    from conditioned_diffusion_models_uad_tpu.train.loop import (
+        Trainer, TrainerConfig, init_state,
+    )
+
+    slices = jax.random.uniform(jax.random.PRNGKey(1), (depth, 96, 96, 1))
+    key = jax.random.PRNGKey(2)
+    out = {}
+    ref_vars = None
+    recs = {}
+    for fold in (True, False):
+        cfg = dataclasses.replace(DDPMTaskConfig(), norm_precision="compute",
+                                  film_fold=fold)
+        task = DDPMTask(cfg)
+        variables = task.init(jax.random.PRNGKey(0))
+        leaves, treedef = jtu.tree_flatten(variables["params"])
+        ks = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+        variables = dict(
+            variables,
+            params=jtu.tree_unflatten(
+                treedef,
+                [0.05 * jax.random.normal(k, l.shape, l.dtype)
+                 for k, l in zip(ks, leaves)],
+            ),
+        )
+        if ref_vars is None:
+            ref_vars = variables
+        fn = jax.jit(
+            lambda v, x, k, _t=task: _t.reconstruct(v, x, k)
+            .astype(jnp.float32).sum()
+        )
+        dt = _time_fetch(fn, ref_vars, slices, key, n=n)
+        ens = len(cfg.step_ensemble)
+        name = "film_fold_on" if fold else "film_fold_off"
+        out[name] = {
+            "s_per_call": round(dt, 4),
+            "slice_denoises_per_sec": round(depth * ens / dt, 1),
+        }
+        recs[fold] = jax.jit(
+            lambda v, x, k, _t=task: _t.reconstruct(v, x, k)
+        )(ref_vars, slices, key)
+
+        # train step at the protocol batch 32
+        trainer = Trainer(task, TrainerConfig(max_epochs=1, epoch_scan=False))
+        state = init_state(task, jax.random.PRNGKey(0), trainer.tx)
+        rng = np.random.default_rng(0)
+        vols = jnp.asarray(rng.random((8, 96, 96, 32), np.float32))
+        data = (vols, jnp.ones_like(vols))
+        vi = jnp.asarray(rng.integers(0, 8, 32), jnp.int32)
+        si = jnp.asarray(rng.integers(0, 32, 32), jnp.int32)
+
+        def step_loss(state, data, vi, si, k, _tr=trainer):
+            new_state, loss = _tr._train_step(state, data, vi, si, k)
+            return new_state, loss
+
+        # warm
+        state2, loss = step_loss(state, data, vi, si, key)
+        float(loss)
+        t0 = time.perf_counter()
+        st = state2
+        losses = []
+        for i in range(n):
+            st, loss = step_loss(st, data, vi, si, jax.random.fold_in(key, i))
+            losses.append(loss)
+        for l in losses:
+            float(l)
+        out[name]["s_per_train_step"] = round((time.perf_counter() - t0) / n, 4)
+
+    d = float(jnp.max(jnp.abs(recs[True] - recs[False])))
+    s = float(jnp.max(jnp.abs(recs[False])))
+    out["fold_vs_twopass_rel_diff"] = round(d / (s + 1e-12), 6)
+    print(json.dumps({"bench": "film_fold", "depth": depth, **out}), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--depth", type=int, default=192)
     p.add_argument("--skip-site", action="store_true")
+    p.add_argument("--film-fold", action="store_true",
+                   help="run the FiLM-into-fold A/B instead of the f32-vs-"
+                        "folded comparison")
     args = p.parse_args()
 
     from conditioned_diffusion_models_uad_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
 
+    if args.film_fold:
+        bench_film_fold(args.depth, args.iters)
+        return
     if not args.skip_site:
         bench_site(args.iters)
     bench_reconstruct(args.depth, args.iters)
