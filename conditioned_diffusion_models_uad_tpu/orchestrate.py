@@ -160,8 +160,33 @@ def evaluate(
 
             from .native.binding import PrefetchLoader
 
+            # pre-upload subject arrays from the loader threads so the async
+            # H2D transfers overlap the previous group's device compute
+            # (EvalConfig.preupload; measured 31% of the dispatch on a
+            # degraded link). The device twins live under '_dev' — every
+            # decision / host-binarization path keeps the original numpy.
+            preupload = (
+                cfg.eval.preupload
+                and cfg.data.preprocess_backend != "device"
+                and not cfg.eval.save_output_images
+            )
+
+            def _load(i):
+                sub = ds[i]
+                if preupload:
+                    sub = dict(sub)
+                    sub["_dev"] = {
+                        k: jax.device_put(v)
+                        for k in ("vol", "vol_orig", "mask_orig", "seg_orig")
+                        if isinstance(v := sub.get(k), np.ndarray)
+                    }
+                return sub
+
+            def _dev(sub, k):
+                return sub.get("_dev", {}).get(k, sub.get(k))
+
             loader = PrefetchLoader(
-                range(len(ds)), lambda i: ds[i],
+                range(len(ds)), _load,
                 num_threads=max(1, int(cfg.eval.loader_threads)),
                 prefetch=max(1, int(cfg.eval.loader_prefetch)),
             )
@@ -217,19 +242,28 @@ def evaluate(
                     while len(pending) >= n_workers:
                         pending.pop(0).result()
                     ph["wait"] += _t.perf_counter() - t1
+                    # volumes above the fused-scoring gate consume orig/mask
+                    # on device: hand them the pre-uploaded twins (the host
+                    # path below the gate binarizes on host numpy — keep the
+                    # originals there)
+                    fused_vol = sub["vol_orig"].size > FUSED_MIN_VOXELS
+                    seg_avail = bool(sub.get("seg_available", True))
                     pending.append(scorer.submit(
                         _timed_step if timing else session.test_step,
                         reco,
-                        sub["vol_orig"],
-                        sub.get("seg_orig") if sub.get("seg_available", True)
-                        else None,
-                        sub["mask_orig"],
+                        _dev(sub, "vol_orig") if fused_vol else sub["vol_orig"],
+                        sub.get("seg_orig") if seg_avail else None,
+                        _dev(sub, "mask_orig") if fused_vol else sub["mask_orig"],
                         batch_idx=i,
                         ID=sub.get("ID", str(i)),
                         label_vol=sub.get("label", 0),
                         # device scalars; the scorer thread fetches them
                         aux={"loss": raux["loss"], "latent": raux["latent"],
                              "score_fn": score_fn},
+                        seg_dev=(
+                            _dev(sub, "seg_orig")
+                            if fused_vol and seg_avail else None
+                        ),
                     ))
 
                 def _score_group(group, diff_g, packed_g, flags, llen):
@@ -265,7 +299,7 @@ def evaluate(
                                     and isinstance(seg_orig, np.ndarray)
                                     else None
                                 ),
-                                seg_dev=seg_orig,
+                                seg_dev=_dev(sub, "seg_orig"),
                             )
                             done = j + 1
                             if timing:
@@ -291,7 +325,10 @@ def evaluate(
                             subs[0].get("seg_orig"), np.ndarray
                         ),
                     )
-                    padded = subs + [subs[-1]] * (group_n - len(subs))
+                    # the dispatch consumes the pre-uploaded device twins;
+                    # decisions above used the original host arrays
+                    devs = [dict(s, **s.get("_dev", {})) for s in subs]
+                    padded = devs + [devs[-1]] * (group_n - len(devs))
                     diff_g, packed_g = recon.batch_call_scored(
                         variables, padded, _group_keys(group), flags,
                     )
@@ -349,11 +386,11 @@ def evaluate(
                     t0 = _t.perf_counter()
                     if group_n == 1:
                         i0, sub0 = group[0]
-                        res = [recon(variables, sub0["vol"],
+                        res = [recon(variables, _dev(sub0, "vol"),
                                      jax.random.fold_in(key, i0),
                                      return_aux=True)]
                     else:
-                        vols = [s["vol"] for _, s in group]
+                        vols = [_dev(s, "vol") for _, s in group]
                         vols += [vols[-1]] * (group_n - len(group))
                         res = recon.batch_call(
                             variables, vols, _group_keys(group),

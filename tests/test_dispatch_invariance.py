@@ -190,3 +190,38 @@ def test_commit_reorder_buffer_out_of_order():
     s2._commit_in_order(1, lambda: order2.append(1))
     s2._abort_turn(0)
     assert order2 == [1]
+
+
+def test_preupload_matches_host_arrays(tmp_path, monkeypatch):
+    """eval.preupload (loader-thread device_put of subject arrays, hiding
+    H2D behind the previous group's compute) is value-preserving: the
+    eval_dict is identical with it on or off, in both dispatch modes."""
+    from conditioned_diffusion_models_uad_tpu.eval import harness as H
+
+    monkeypatch.setattr(H, "FUSED_MIN_VOXELS", 1000)
+
+    root = build_synthetic_root(
+        str(tmp_path / "data"), shape=(64, 64, 40), n_train=1, n_val=1,
+        n_test=1, n_eval=3, eval_sets=("Brats21",),
+    )
+    base = RunConfig(
+        name="preupload", seed=0, log_dir=str(tmp_path / "logs"),
+        model=DDPMTaskConfig(**TINY),
+        data=DataConfig(data_dir=root, image_dim=(64, 64, 40),
+                        rescale_factor=2.0, testsets=("Brats21",)),
+        eval=EvalConfig(save_output_images=False, volumes_per_call=2),
+    )
+    base.eval.out_dir = base.run_dir
+    task = DDPMTask(base.model)
+    variables = task.init(jax.random.PRNGKey(0))
+
+    for fused in (True, False):
+        results = {}
+        for pre in (True, False):
+            cfg = dc.replace(base, eval=dc.replace(
+                base.eval, preupload=pre, fused_dispatch=fused))
+            results[pre] = evaluate(
+                cfg, task, variables, fold=0, logger=_NullLogger()
+            )
+        _eval_dicts_equal(results[True], results[False],
+                          f"preupload fused={fused}")

@@ -24,8 +24,11 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -72,10 +75,13 @@ def main() -> None:
         ck.save_last(host_state, 1, 0.5)
         t_old_cycle = time.perf_counter() - t0
 
-        # new 'best' payload alone: variables-only fetch + write
+        # new 'best' payload alone: variables-only fetch + write. Fetch from
+        # a FRESH on-device snapshot — device_get on `state` above cached
+        # host copies on those exact arrays, which would zero out this timing
         ck2 = FoldCheckpointer(os.path.join(tmp, "best_only"), 0)
+        snap_b = snapshot(state)
         t0 = time.perf_counter()
-        host_vars = jax.device_get(variables_only(state))
+        host_vars = jax.device_get(variables_only(snap_b))
         t_fetch_best = time.perf_counter() - t0
         ck2.maybe_save_best(host_vars, 1, 0.5)
         t_best_cycle = time.perf_counter() - t0

@@ -46,7 +46,9 @@ def main() -> None:
     recon = VolumeReconstructor(task)
 
     rng = np.random.default_rng(0)
-    shape = (96, 96, 100)  # model/orig space of the 192x192x100 flagship raw
+    # model/orig space of the 192x192x100 flagship raw after rescale 2 —
+    # the shape the r4 chip sweep's device_fast eval compiled (cache hit)
+    shape = (96, 96, 50)
     subs = []
     for i in range(2):
         subs.append({
