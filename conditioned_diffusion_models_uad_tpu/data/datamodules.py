@@ -347,10 +347,10 @@ def load_subject(
     """Read + preprocess one subject into numpy arrays [H, W, D] (or
     device-resident jax.Arrays when cfg.preprocess_backend == 'device').
 
-    The device backend applies only to eval subjects (keep_orig): the training
-    set is stacked into one host array before its one-time upload to the
-    device-resident TrainSliceSource, so device-mode training loads would be a
-    pure D2H/H2D round-trip loss on a tunneled chip."""
+    Per-subject eval loads take the device path here (keep_orig); TRAIN pool
+    ingest with the device backend goes through IXI._build_source, which
+    calls `_load_subject_device` directly and stacks the device-resident
+    model-space volumes ON DEVICE (no host stack, no D2H)."""
     if cfg.preprocess_backend == "device" and keep_orig:
         return _load_subject_device(row, cfg, keep_orig)
     vol = _read_image(row["img_path"], cfg, is_label=False)
@@ -529,6 +529,22 @@ class IXI:
         from ..native.binding import PrefetchLoader
 
         rows = [self.csv[state].iloc[i] for i in range(len(self.csv[state]))]
+        if self.cfg.preprocess_backend == "device":
+            # device-fused TRAIN ingest: raw-dtype uploads (int16/uint8 —
+            # a fraction of the f32 bytes) + the on-device preprocess
+            # pipeline, stacked ON DEVICE — zero D2H, and the single-CPU
+            # host no longer serializes ~seconds of curvature-flow /
+            # rescale per subject (measured the dominant fixed cost of a
+            # SparK pretrain run, PARITY "SparK pretrain e2e"). Same fused
+            # pipeline the eval path parity-tests against host mode.
+            subs = list(PrefetchLoader(
+                rows,
+                lambda r: _load_subject_device(r, self.cfg, keep_orig=False),
+                num_threads=4,
+            ))
+            vols = jnp.stack([s["vol"] for s in subs])
+            masks = jnp.stack([s["mask"] for s in subs])
+            return TrainSliceSource(vols, masks, self.cfg)
         subs = list(
             PrefetchLoader(rows, lambda r: load_subject(r, self.cfg), num_threads=4)
         )

@@ -285,3 +285,29 @@ def test_nifti_scl_inter_with_unit_slope(tmp_path):
     open(p, "wb").write(bytes(raw))
     out, _ = pynifti.read_nifti(p)
     np.testing.assert_allclose(out, vol + 10.0)
+
+
+def test_device_train_pool_matches_host(data_root):
+    """preprocess_backend='device' now also ingests the TRAIN pool (raw-dtype
+    uploads + on-device preprocessing, stacked on device — no host stack, no
+    D2H): the resulting TrainSliceSource volumes/masks must match the host
+    pipeline's, and the source must drive a normal epoch."""
+    import dataclasses as dc
+
+    import jax
+
+    cfg_h = _cfg(data_root)
+    cfg_d = dc.replace(cfg_h, preprocess_backend="device")
+    src_h = IXI(cfg_h, fold=0).train_slices()
+    src_d = IXI(cfg_d, fold=0).train_slices()
+    assert isinstance(src_d.vols, jax.Array)
+    np.testing.assert_allclose(
+        np.asarray(src_d.vols), np.asarray(src_h.vols), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(src_d.masks), np.asarray(src_h.masks), rtol=1e-5, atol=1e-5
+    )
+    rng = np.random.default_rng(0)
+    vi, si = next(iter(src_d.epoch_indices(rng)))
+    v, m = src_d.gather(vi, si)
+    assert np.isfinite(np.asarray(v)).all()

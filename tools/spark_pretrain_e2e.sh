@@ -37,12 +37,14 @@ python tools/tunnel_probe.py
 
 run_once () {
   local epochs="$1" name="$2"
-  /usr/bin/time -f "%e" -o "/tmp/spark_e2e_${name}.time" \
-    env DATA_DIR="$DATA_DIR" LOG_DIR="$LOG_DIR" python -u run.py \
-      experiment=cDDPM/Spark_2D_pretrain "name=spark_e2e_${name}" \
-      "trainer.max_epochs=${epochs}" trainer.check_val_every_n_epoch=1000 \
-      datamodule.batch_size=32 > "/tmp/spark_e2e_${name}.log" 2>&1
-  cat "/tmp/spark_e2e_${name}.time"
+  local t0 t1
+  t0=$(date +%s.%N)
+  DATA_DIR="$DATA_DIR" LOG_DIR="$LOG_DIR" python -u run.py \
+    experiment=cDDPM/Spark_2D_pretrain "name=spark_e2e_${name}" \
+    "trainer.max_epochs=${epochs}" trainer.check_val_every_n_epoch=1000 \
+    datamodule.batch_size=32 > "/tmp/spark_e2e_${name}.log" 2>&1
+  t1=$(date +%s.%N)
+  echo "$t0 $t1" | awk '{printf "%.1f", $2 - $1}'
 }
 
 echo "== warm the compile cache (${E_SHORT} epochs, timing discarded) =="
