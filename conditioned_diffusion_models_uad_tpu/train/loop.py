@@ -46,6 +46,12 @@ from .checkpoint import FoldCheckpointer
 class TrainerConfig:
     max_epochs: int = 1200
     check_val_every_n_epoch: int = 10
+    # epochs dispatched as ONE device program (scan over epochs of the epoch
+    # scan). None = auto: chunk up to the next val/checkpoint boundary —
+    # per-epoch dispatch overhead is RTT-bound on tunneled hosts (measured
+    # 0.049 s/epoch on the SparK protocol, PARITY r5). 1 restores the
+    # per-epoch dispatch. Only active with epoch_scan.
+    epochs_per_dispatch: int | None = None
     seed: int = 42
     ckpt_dir: str = "./checkpoints"
     resume: bool = False
@@ -177,6 +183,25 @@ class Trainer:
 
             return jax.lax.scan(body, state, (vol_idx_all, slice_idx_all))
 
+        def multi_epoch_scan(state, data, vi_all, si_all, base_key, epoch_idx):
+            """Several epochs as ONE dispatch: scan over epochs of the scan
+            over steps. vi_all/si_all are [E, S, B]; epoch e's key is
+            fold_in(base_key, epoch_idx[e]) computed IN-program (eager
+            per-epoch fold_ins would cost one tunnel RTT each — the exact
+            overhead this path removes; fold_in on a traced index is bitwise
+            the eager fold_in). Per-epoch dispatch overhead measured 0.049
+            s/epoch RTT-bound on the SparK protocol (PARITY r5) — chunking
+            to the val interval divides it by the chunk length."""
+
+            def epoch_body(st, per_epoch):
+                vi, si, e = per_epoch
+                return epoch_scan(st, data, vi, si,
+                                  jax.random.fold_in(base_key, e))
+
+            return jax.lax.scan(
+                epoch_body, state, (vi_all, si_all, epoch_idx)
+            )  # losses [E, S]
+
         if self.mesh is not None:
             rep = replicated_sharding(self.mesh)
             shb = batch_sharding(self.mesh)
@@ -194,12 +219,25 @@ class Trainer:
                 out_shardings=(rep, rep),
                 donate_argnums=(0,),
             )
+            # multi-epoch chunk: [E, S, B] index arrays, batch axis (2)
+            shb3 = NamedSharding(
+                self.mesh, P(None, None, self.mesh.axis_names[0])
+            )
+            self._multi_epoch_scan = jax.jit(
+                multi_epoch_scan,
+                in_shardings=(rep, rep, shb3, shb3, rep, rep),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
             self._val_step = jax.jit(
                 val_step, in_shardings=(rep, rep, shb, shb, rep), out_shardings=rep
             )
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
             self._epoch_scan = jax.jit(epoch_scan, donate_argnums=(0,))
+            self._multi_epoch_scan = jax.jit(
+                multi_epoch_scan, donate_argnums=(0,)
+            )
             self._val_step = jax.jit(val_step)
 
     # ------------------------------------------------------------------ #
@@ -322,77 +360,123 @@ class Trainer:
                 train_source, np.random.default_rng(cfg.seed), cfg.overfit_batches
             )
 
-        for epoch in range(start_epoch, max_epochs):
-            if overfit_arrays is not None:
-                vi_all, si_all = overfit_arrays
-            else:
-                limit = 1 if cfg.fast_dev_run else None
-                # per-epoch derived rng: the shuffle stream is a function of
-                # (seed, fold, epoch), so a resumed run at epoch k draws the
-                # SAME orders epochs 0..k-1 would have been followed by — not
-                # a replay of the start of training
-                epoch_rng = np.random.default_rng([cfg.seed + fold, epoch])
-                vi_all, si_all = self._epoch_index_arrays(
-                    train_source, epoch_rng, limit
-                )
-            if vi_all is None:
-                raise ValueError("empty training source")
-
-            if cfg.epoch_scan and not cfg.fast_dev_run:
-                state, losses = self._epoch_scan(
-                    state, data, vi_all, si_all, jax.random.fold_in(k_train, epoch)
-                )
-                # the scan already returns every step's loss — ONE stacked
-                # fetch per epoch restores the reference's per-step loss
-                # stream (Lightning logs train/loss each step,
-                # src/models/DDPM_2D.py:130-135) at log_every_n_steps
-                # cadence with zero extra device dispatches
-                loss_host = np.asarray(
-                    jax.device_get(losses), dtype=np.float64
-                )
-                n_b = int(loss_host.shape[0])
-                every = max(1, int(cfg.log_every_n_steps))
-                if self.logger is not None:
-                    for b in range(n_b):
-                        if (steps + b + 1) % every == 0 or b == n_b - 1:
-                            self.logger.log_metrics(
-                                {"train/loss": float(loss_host[b]),
-                                 "epoch": epoch},
-                                step=steps + b + 1,
-                            )
-                steps += n_b
-                last_loss = float(loss_host[-1])
-            else:
-                every = max(1, int(cfg.log_every_n_steps))
-                n_b = vi_all.shape[0]
+        def _log_epoch_losses(loss_epoch, epoch, steps):
+            """One epoch's [S] loss stream at log_every_n_steps cadence
+            (restores the reference's per-step train/loss rows, Lightning
+            logs each step, src/models/DDPM_2D.py:130-135)."""
+            n_b = int(loss_epoch.shape[0])
+            every = max(1, int(cfg.log_every_n_steps))
+            if self.logger is not None:
                 for b in range(n_b):
-                    state, loss = self._train_step(
-                        state, data, vi_all[b], si_all[b],
+                    if (steps + b + 1) % every == 0 or b == n_b - 1:
+                        self.logger.log_metrics(
+                            {"train/loss": float(loss_epoch[b]),
+                             "epoch": epoch},
+                            step=steps + b + 1,
+                        )
+            return steps + n_b
+
+        val_n = max(1, int(cfg.check_val_every_n_epoch))
+        epoch = start_epoch
+        while epoch < max_epochs:
+            scanning = cfg.epoch_scan and not cfg.fast_dev_run
+            # chunk: epochs until the next val/checkpoint boundary (or the
+            # end), dispatched as ONE multi-epoch scan — per-epoch dispatch
+            # overhead is one tunnel RTT (TrainerConfig.epochs_per_dispatch)
+            if val_source is not None and not cfg.fast_dev_run:
+                end = min(max_epochs, (epoch // val_n + 1) * val_n)
+            else:
+                end = max_epochs if scanning and overfit_arrays is None else epoch + 1
+            chunk = end - epoch
+            if cfg.epochs_per_dispatch is not None:
+                chunk = min(chunk, max(1, int(cfg.epochs_per_dispatch)))
+            use_chunk = scanning and overfit_arrays is None and chunk > 1
+
+            if use_chunk:
+                vis, sis = [], []
+                for e in range(epoch, epoch + chunk):
+                    # per-epoch derived rng: the shuffle stream is a function
+                    # of (seed, fold, epoch) — identical to the per-epoch
+                    # dispatch path, so chunking never changes the data order
+                    epoch_rng = np.random.default_rng([cfg.seed + fold, e])
+                    vi_all, si_all = self._epoch_index_arrays(
+                        train_source, epoch_rng, None
+                    )
+                    if vi_all is None:
+                        raise ValueError("empty training source")
+                    vis.append(vi_all)
+                    sis.append(si_all)
+                state, losses = self._multi_epoch_scan(
+                    state, data, np.stack(vis), np.stack(sis), k_train,
+                    np.arange(epoch, epoch + chunk, dtype=np.int32),
+                )
+                # ONE stacked fetch for the whole chunk's loss stream
+                loss_host = np.asarray(jax.device_get(losses), np.float64)
+                for ei in range(loss_host.shape[0]):
+                    steps = _log_epoch_losses(loss_host[ei], epoch + ei, steps)
+                last_loss = float(loss_host[-1, -1])
+                epoch += chunk
+            else:
+                if overfit_arrays is not None:
+                    vi_all, si_all = overfit_arrays
+                else:
+                    limit = 1 if cfg.fast_dev_run else None
+                    # per-epoch derived rng: the shuffle stream is a function
+                    # of (seed, fold, epoch), so a resumed run at epoch k
+                    # draws the SAME orders epochs 0..k-1 would have been
+                    # followed by — not a replay of the start of training
+                    epoch_rng = np.random.default_rng([cfg.seed + fold, epoch])
+                    vi_all, si_all = self._epoch_index_arrays(
+                        train_source, epoch_rng, limit
+                    )
+                if vi_all is None:
+                    raise ValueError("empty training source")
+
+                if scanning:
+                    state, losses = self._epoch_scan(
+                        state, data, vi_all, si_all,
                         jax.random.fold_in(k_train, epoch),
                     )
-                    steps += 1
-                    # value-fetch (a device sync) only at the logging cadence
-                    # or epoch end — a per-step D2H fetch would serialize the
-                    # tunneled transport the loop otherwise keeps enqueued
-                    if steps % every == 0 or b == n_b - 1:
-                        last_loss = float(loss)
-                        if self.logger is not None:
-                            self.logger.log_metrics(
-                                {"train/loss": last_loss, "epoch": epoch},
-                                step=steps,
-                            )
+                    loss_host = np.asarray(
+                        jax.device_get(losses), dtype=np.float64
+                    )
+                    steps = _log_epoch_losses(loss_host, epoch, steps)
+                    last_loss = float(loss_host[-1])
+                else:
+                    every = max(1, int(cfg.log_every_n_steps))
+                    n_b = vi_all.shape[0]
+                    for b in range(n_b):
+                        state, loss = self._train_step(
+                            state, data, vi_all[b], si_all[b],
+                            jax.random.fold_in(k_train, epoch),
+                        )
+                        steps += 1
+                        # value-fetch (a device sync) only at the logging
+                        # cadence or epoch end — a per-step D2H fetch would
+                        # serialize the tunneled transport the loop otherwise
+                        # keeps enqueued
+                        if steps % every == 0 or b == n_b - 1:
+                            last_loss = float(loss)
+                            if self.logger is not None:
+                                self.logger.log_metrics(
+                                    {"train/loss": last_loss, "epoch": epoch},
+                                    step=steps,
+                                )
+                epoch += 1
 
+            # `epoch` has already advanced past the chunk: the boundary test
+            # is the pre-advance `(e + 1) % N == 0 or e == max_epochs - 1`
             run_val = (
                 val_source is not None
                 and not cfg.fast_dev_run
-                and ((epoch + 1) % cfg.check_val_every_n_epoch == 0
-                     or epoch == max_epochs - 1)
+                and (epoch % val_n == 0 or epoch == max_epochs)
             )
             if run_val:
                 val_loss = self.validate(state, val_source, k_val)
                 if self.logger is not None:
                     self.logger.log_metrics(
-                        {"val/loss_comb": val_loss, "epoch": epoch}, step=steps
+                        {"val/loss_comb": val_loss, "epoch": epoch - 1},
+                        step=steps,
                     )
                 # the save cycle runs on the background writer against an
                 # on-device snapshot; when 'last' is off, only the 'best'
@@ -406,13 +490,13 @@ class Trainer:
                         state if cfg.save_last else variables_only(state)
                     )
 
-                    def _write(snap=snap, epoch=epoch, val_loss=val_loss,
+                    def _write(snap=snap, n_done=epoch, val_loss=val_loss,
                                is_best=is_best):
                         host_state = jax.device_get(snap)
                         if is_best:
-                            ckpt.maybe_save_best(host_state, epoch + 1, val_loss)
+                            ckpt.maybe_save_best(host_state, n_done, val_loss)
                         if cfg.save_last:
-                            ckpt.save_last(host_state, epoch + 1, val_loss)
+                            ckpt.save_last(host_state, n_done, val_loss)
 
                     writer.submit(_write)
 

@@ -362,3 +362,57 @@ def test_device_data_cached_across_validations(ddpm_task, tmp_path):
     other = _source(n=4)
     d3 = tr._device_data(other)
     assert d3[0] is not d1[0]
+
+
+def test_multi_epoch_dispatch_matches_per_epoch(tmp_path, ddpm_task):
+    """TrainerConfig.epochs_per_dispatch: chunking epochs into one
+    multi-epoch scan (the RTT-amortizing TPU path) follows the SAME data
+    order and key stream as the per-epoch dispatch — final params close,
+    step counts and checkpoint cadence identical."""
+    src = _source()
+    states = {}
+    for epd, tag in ((1, "per_epoch"), (None, "chunked")):
+        tcfg = TrainerConfig(
+            max_epochs=4, check_val_every_n_epoch=2,
+            ckpt_dir=str(tmp_path / tag), aug_intensity=False,
+            epoch_scan=True, seed=0, epochs_per_dispatch=epd,
+        )
+        tr = Trainer(ddpm_task, tcfg)
+        states[tag] = tr.fit(src, val_source=src, fold=0)
+
+    a, b = states["per_epoch"], states["chunked"]
+    assert int(a["step"]) == int(b["step"]) == 4 * 2
+    for la, lb in zip(jax.tree_util.tree_leaves(a["params"]),
+                      jax.tree_util.tree_leaves(b["params"])):
+        np.testing.assert_allclose(
+            np.asarray(la, np.float32), np.asarray(lb, np.float32),
+            rtol=2e-4, atol=2e-5,
+        )
+    # both wrote best/last with the boundary-epoch step stamps
+    for tag in ("per_epoch", "chunked"):
+        ck = FoldCheckpointer(str(tmp_path / tag), 0)
+        assert ck.meta["last"]["step"] == 4
+        assert "best" in ck.meta
+
+
+def test_multi_epoch_dispatch_no_val_single_chunk(tmp_path, ddpm_task):
+    """Without a val source the whole run is ONE dispatch; step count and
+    the final save_last checkpoint are unchanged."""
+    tcfg = TrainerConfig(
+        max_epochs=3, ckpt_dir=str(tmp_path), aug_intensity=False,
+        epoch_scan=True, seed=0,
+    )
+    tr = Trainer(ddpm_task, tcfg)
+    calls = []
+    orig = tr._multi_epoch_scan
+
+    def spy(*a, **k):
+        calls.append(a[2].shape)
+        return orig(*a, **k)
+
+    tr._multi_epoch_scan = spy
+    state = tr.fit(src := _source(), fold=0)
+    assert int(state["step"]) == 3 * 2
+    assert calls == [(3, 2, 4)]  # [E, S, B]: one 3-epoch dispatch
+    ck = FoldCheckpointer(str(tmp_path), 0)
+    assert ck.meta["last"]["step"] == 3
