@@ -280,8 +280,13 @@ class EvalSession:
             fn = self._ready.pop(self._commit_turn, None)
             if fn is None:
                 return
-            fn()
+            # advance BEFORE running: a closure that raises must not wedge
+            # the buffer (its turn is spent either way, like the old
+            # turnstile's finally-advance) — the exception propagates to
+            # whichever thread is draining, and the remaining parked
+            # commits flow on the next deposit
             self._commit_turn += 1
+            fn()
 
     def _abort_turn(self, batch_idx: int) -> None:
         """A failed test_step must still release its commit slot, or every
@@ -348,7 +353,9 @@ class EvalSession:
             # by the actual full-res shape — the two must match for the
             # residual, ref utils_eval.py:24-27)
             final_volume = P.resize_trilinear(
-                final_volume, tuple(np.asarray(data_orig).shape)
+                # .shape only — np.asarray on a (possibly pre-uploaded
+                # device) orig volume would pull it D2H just to read dims
+                final_volume, tuple(data_orig.shape)
             )
         orig = jnp.asarray(data_orig, dtype=jnp.float32)
         mask = jnp.asarray(data_mask, dtype=jnp.float32)

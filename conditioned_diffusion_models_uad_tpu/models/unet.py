@@ -174,7 +174,9 @@ class ResBlock(nn.Module):
     down: bool = False
     dtype: jnp.dtype = jnp.float32
     norm_f32: bool = True  # f32 normalize+affine (GroupNorm32 semantics)
-    film_fold: bool = True  # compose FiLM into the folded-GN coefficients
+    # compose FiLM into the folded-GN coefficients — measured-rejected
+    # default, matches UNetConfig.film_fold (train -40%; see there)
+    film_fold: bool = False
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):

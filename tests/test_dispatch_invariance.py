@@ -191,6 +191,22 @@ def test_commit_reorder_buffer_out_of_order():
     s2._abort_turn(0)
     assert order2 == [1]
 
+    # a RAISING closure spends its turn instead of wedging the buffer:
+    # later commits still land, in order
+    s3 = EvalSession(EvalConfig(), "Brats21", "test")
+    order3 = []
+
+    def boom():
+        raise RuntimeError("commit failed")
+
+    s3._commit_in_order(1, lambda: order3.append(1))
+    s3._commit_in_order(2, lambda: order3.append(2))
+    with pytest.raises(RuntimeError):
+        s3._commit_in_order(0, boom)
+    assert order3 == []  # 1/2 still parked: the drain stopped at the raise
+    s3._commit_in_order(3, lambda: order3.append(3))  # next deposit drains
+    assert order3 == [1, 2, 3]
+
 
 def test_preupload_matches_host_arrays(tmp_path, monkeypatch):
     """eval.preupload (loader-thread device_put of subject arrays, hiding

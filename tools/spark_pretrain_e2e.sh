@@ -39,9 +39,14 @@ run_once () {
   local epochs="$1" name="$2"
   local t0 t1
   t0=$(date +%s.%N)
+  # epochs_per_dispatch=1 pins the PER-EPOCH dispatch path: the marginal
+  # cost this protocol isolates. Auto-chunking would fold all epochs into
+  # one program whose compiled shape depends on max_epochs — the long run
+  # would then include a fresh XLA compile and measure nothing marginal.
   DATA_DIR="$DATA_DIR" LOG_DIR="$LOG_DIR" python -u run.py \
     experiment=cDDPM/Spark_2D_pretrain "name=spark_e2e_${name}" \
     "trainer.max_epochs=${epochs}" trainer.check_val_every_n_epoch=1000 \
+    trainer.epochs_per_dispatch=1 \
     datamodule.batch_size=32 > "/tmp/spark_e2e_${name}.log" 2>&1
   t1=$(date +%s.%N)
   echo "$t0 $t1" | awk '{printf "%.1f", $2 - $1}'
